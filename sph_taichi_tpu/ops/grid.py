@@ -1,0 +1,82 @@
+"""Uniform background grid: cell ids, stable sort, cell-range offsets.
+
+The reference re-bins particles every step with an atomic histogram, a
+native GPU prefix sum, and an atomic counting sort through a full duplicate
+buffer set (particle_system.py:311-375 + scan_single_buffer.py).  The
+TPU-native equivalent is branch-free and deterministic:
+
+    cell id  ->  stable sort of (cell_id, iota)  ->  permute the whole
+    Particles pytree with one shared gather  ->  cell start offsets by
+    searchsorted over the sorted keys (a vectorized binary search; the
+    prefix-sum information content without a scan kernel).
+
+Cell-id math is bit-identical to the reference: integer truncation of
+pos / grid_size (pos_to_index, particle_system.py:288-289) and flattening
+ix*ny*nz + iy*nz + iz (flatten_grid_index, :292-294).
+
+Padding particles are forced into a dedicated overflow cell (id =
+num_cells) so they sort to the tail and never appear in any neighbor
+window; this also fixes the reference's cell-0 bug (particles in flat cell
+0 are invisible as neighbors, particle_system.py:383) — our cell ranges
+come from explicit [start, end) offsets, not prefix[cell-1].
+"""
+
+import jax
+import jax.numpy as jnp
+
+from sph_taichi_tpu.state import MATERIAL_PAD
+
+
+def pos_to_cell(x, grid_size):
+    """Integer cell coords by truncation toward zero (reference :288-289)."""
+    return (x / grid_size).astype(jnp.int32)
+
+
+def flatten_cell(cell, grid_num):
+    """ix*ny*nz + iy*nz + iz (reference :292-294)."""
+    ny, nz = grid_num[1], grid_num[2]
+    return cell[..., 0] * (ny * nz) + cell[..., 1] * nz + cell[..., 2]
+
+
+def compute_cell_ids(x, material, grid_size, grid_num):
+    """Flat cell id per particle; padding -> overflow cell (= num_cells).
+
+    Real particle coords are clipped into the grid so out-of-domain strays
+    get a valid edge cell instead of wrapping (the reference would index
+    out of range, UB in Taichi).
+    """
+    num_cells = grid_num[0] * grid_num[1] * grid_num[2]
+    cell = pos_to_cell(x, grid_size)
+    cell = jnp.clip(cell, 0, jnp.asarray(grid_num, jnp.int32) - 1)
+    flat = flatten_cell(cell, grid_num)
+    return jnp.where(material == MATERIAL_PAD, num_cells, flat)
+
+
+def sort_by_cell(particles, cell_ids):
+    """Stable sort of the whole particle pytree by flat cell id.
+
+    Replaces the reference's atomic counting sort (particle_system.py:322-369).
+    Deterministic: equal keys keep their relative order.
+    Returns (sorted_particles, sorted_cell_ids, permutation).
+    """
+    n = cell_ids.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_ids, perm = jax.lax.sort_key_val(cell_ids, iota, is_stable=True)
+    sorted_particles = jax.tree_util.tree_map(lambda a: a[perm], particles)
+    return sorted_particles, sorted_ids, perm
+
+
+def cell_offsets(sorted_cell_ids, num_cells):
+    """start[c] .. start[c+1] gives the sorted index range of cell c.
+
+    start has length num_cells + 2 (one extra for the overflow cell used by
+    padding particles).  Equivalent information to the reference's inclusive
+    prefix sum over per-cell histograms (particle_system.py:374).
+    """
+    bounds = jnp.arange(num_cells + 2, dtype=sorted_cell_ids.dtype)
+    return jnp.searchsorted(sorted_cell_ids, bounds, side="left").astype(jnp.int32)
+
+
+def max_cell_occupancy(starts):
+    """Diagnostic: most particles in any real cell (for cell_cap sizing)."""
+    return jnp.max(starts[1:-1] - starts[:-2])

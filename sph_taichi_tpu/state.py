@@ -1,0 +1,191 @@
+"""Particle state and static simulation parameters.
+
+The reference stores particles as a set of Taichi fields plus a full
+duplicate buffer set used by its counting sort (particle_system.py:102-140).
+Here the particle store is a single immutable pytree of jnp arrays (SoA);
+"sorting" is a functional permutation of the whole pytree, so no explicit
+double-buffering is needed and every step is a pure function
+``SimState -> SimState`` that XLA can fuse end to end.
+
+Array capacity is padded to a multiple of PAD_MULTIPLE for TPU tiling;
+padding particles carry ``material == MATERIAL_PAD`` and are parked in a
+virtual overflow grid cell so they are invisible to neighbor search.
+"""
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+# Material codes (reference particle_system.py:30-31). PAD is ours.
+MATERIAL_SOLID = 0
+MATERIAL_FLUID = 1
+MATERIAL_PAD = -1
+
+PAD_MULTIPLE = 512
+
+
+class Particles(NamedTuple):
+    """SoA particle store (reference particle_system.py:102-117).
+
+    All per-particle arrays have leading dim n_pad (capacity).  ``density``
+    of solid particles keeps its scene-assigned value forever, exactly like
+    the reference (solids are skipped by compute_densities).
+    """
+    object_id: jnp.ndarray    # i32[N]
+    x: jnp.ndarray            # f32[N,3] position
+    x0: jnp.ndarray           # f32[N,3] rest position (reference x_0)
+    v: jnp.ndarray            # f32[N,3] velocity
+    acc: jnp.ndarray          # f32[N,3] acceleration
+    m_V: jnp.ndarray          # f32[N]   volume (boundary particles get Akinci volume)
+    m: jnp.ndarray            # f32[N]   mass = m_V0 * density at creation
+    density: jnp.ndarray      # f32[N]
+    pressure: jnp.ndarray     # f32[N]
+    material: jnp.ndarray     # i32[N]  1=fluid 0=solid -1=padding
+    is_dynamic: jnp.ndarray   # i32[N]
+    color: jnp.ndarray        # i32[N,3]
+    # DFSPH extras (reference particle_system.py:115-117); None for WCSPH.
+    dfsph_factor: Optional[jnp.ndarray] = None   # f32[N]
+    density_adv: Optional[jnp.ndarray] = None    # f32[N]
+
+    @property
+    def n(self):
+        return self.x.shape[0]
+
+    def is_fluid(self):
+        return self.material == MATERIAL_FLUID
+
+    def is_solid(self):
+        return self.material == MATERIAL_SOLID
+
+    def is_static_rigid(self):
+        # reference particle_system.py:302-303
+        return (self.material == MATERIAL_SOLID) & (self.is_dynamic == 0)
+
+    def is_dynamic_rigid(self):
+        # reference particle_system.py:306-308
+        return (self.material == MATERIAL_SOLID) & (self.is_dynamic != 0)
+
+
+class SimState(NamedTuple):
+    """Full dynamic simulation state threaded through the jitted step."""
+    p: Particles
+    rigid_rest_cm: jnp.ndarray   # f32[n_objects, 3] rest center-of-mass per object id
+    dt: jnp.ndarray              # f32[] current timestep (traced: enables adaptive CFL dt)
+    t: jnp.ndarray               # f32[] simulated time
+    step_count: jnp.ndarray      # i32[]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Static (compile-time) simulation parameters.
+
+    Derived constants follow reference particle_system.py:33-46:
+    support_radius = 4*particle_radius, particle_diameter = 2r,
+    m_V0 = 0.8 * diameter**dim, grid cell = support_radius,
+    padding = one grid cell.
+    """
+    dim: int
+    particle_radius: float
+    density0: float
+    gravity: tuple                # (3,)
+    dt0: float                    # timeStepSize from scene
+    stiffness: float              # WCSPH Tait EOS
+    exponent: float               # WCSPH Tait EOS
+    simulation_method: int
+    domain_start: tuple
+    domain_end: tuple
+    # particle counts
+    n_particles: int              # real particles
+    n_fluid: int
+    n_solid: int
+    n_pad: int                    # array capacity (>= n_particles, tile multiple)
+    # object/rigid bookkeeping (static python data)
+    num_objects: int              # max object id + 1
+    rigid_body_ids: tuple         # object ids that are rigid bodies/blocks
+    dynamic_rigid_ids: tuple      # subset that is dynamic (order = reference iteration order)
+    # tunables (framework-specific; not in reference)
+    neighbor_cap: int = 64        # K: max stored neighbors per particle
+    cell_cap: int = 32            # M: max particles fetched per grid cell
+    # fixed reference constants
+    viscosity: float = 0.01       # sph_base.py:15
+    surface_tension: float = 0.01 # WCSPH.py:15 / DFSPH.py:9
+    collision_factor: float = 0.5 # c_f, sph_base.py:121
+
+    # ---- derived (reference particle_system.py:33-46) ----
+    @property
+    def particle_diameter(self):
+        return 2.0 * self.particle_radius
+
+    @property
+    def support_radius(self):
+        return 4.0 * self.particle_radius
+
+    @property
+    def m_V0(self):
+        return 0.8 * self.particle_diameter ** self.dim
+
+    @property
+    def domain_size(self):
+        return tuple(e - s for e, s in zip(self.domain_end, self.domain_start))
+
+    @property
+    def grid_size(self):
+        return self.support_radius
+
+    @property
+    def grid_num(self):
+        return tuple(int(np.ceil(s / self.grid_size)) for s in self.domain_size)
+
+    @property
+    def num_cells(self):
+        n = 1
+        for g in self.grid_num:
+            n *= g
+        return n
+
+    @property
+    def padding(self):
+        return self.grid_size
+
+
+def pad_count(n, multiple=PAD_MULTIPLE):
+    return int(-(-n // multiple) * multiple)
+
+
+def make_particles(np_arrays, n_pad, with_dfsph=False):
+    """Assemble a padded Particles pytree from host numpy arrays of length n.
+
+    Padding particles: material=-1, is_dynamic=0, parked far outside the
+    domain so any distance test fails; the grid stage additionally forces
+    their cell id into the overflow cell.
+    """
+    n = np_arrays["x"].shape[0]
+    assert n_pad >= n
+
+    def pad(a, fill=0):
+        if a.ndim == 1:
+            out = np.full((n_pad,), fill, dtype=a.dtype)
+        else:
+            out = np.full((n_pad,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    far = 1e9  # way outside any domain
+    return Particles(
+        object_id=pad(np_arrays["object_id"].astype(np.int32), -1),
+        x=pad(np_arrays["x"].astype(np.float32), far),
+        x0=pad(np_arrays["x"].astype(np.float32), far),
+        v=pad(np_arrays["v"].astype(np.float32)),
+        acc=pad(np.zeros_like(np_arrays["x"], dtype=np.float32)),
+        m_V=pad(np_arrays["m_V"].astype(np.float32)),
+        m=pad(np_arrays["m"].astype(np.float32)),
+        density=pad(np_arrays["density"].astype(np.float32)),
+        pressure=pad(np_arrays["pressure"].astype(np.float32)),
+        material=pad(np_arrays["material"].astype(np.int32), MATERIAL_PAD),
+        is_dynamic=pad(np_arrays["is_dynamic"].astype(np.int32)),
+        color=pad(np_arrays["color"].astype(np.int32)),
+        dfsph_factor=pad(np.zeros(n, np.float32)) if with_dfsph else None,
+        density_adv=pad(np.zeros(n, np.float32)) if with_dfsph else None,
+    )
