@@ -1,6 +1,10 @@
 """Shared SPH solver machinery (TPU-native counterpart of sph_base.py).
 
-Everything here is a pure function over (Particles, NeighborList, params):
+Every pair sum is expressed as a term function over (center fields,
+neighbor fields, pair geometry) and evaluated by a pluggable traversal
+engine (ops/pairs.py): the gather backend for CPU/tests, the Pallas
+row-streaming backend for TPU.  Everything else here is pure jnp:
+
 - Akinci boundary volumes (static once, moving every step) —
   sph_base.py:91-113, keeping the hardcoded 3.0 coefficient.
 - Domain-box collision: clamp into [padding, domain_size - padding] and
@@ -20,68 +24,65 @@ side (the neighbor relation is symmetric), so the whole step is
 deterministic.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from sph_taichi_tpu.state import (
     MATERIAL_FLUID, MATERIAL_SOLID, Particles, SimParams, SimState)
-from sph_taichi_tpu.ops.kernels import cubic_kernel
+from sph_taichi_tpu.ops.kernels import (
+    cubic_kernel, cubic_kernel_derivative_scalar)
 from sph_taichi_tpu.ops.grid import (
     compute_cell_ids, sort_by_cell, cell_offsets, max_cell_occupancy)
-from sph_taichi_tpu.ops.neighbors import build_neighbor_list
 from sph_taichi_tpu.ops.linalg import polar_rotation
+from sph_taichi_tpu.ops.pairs import make_engine, vdot, vscale
 
 
 # ---------------------------------------------------------------------------
 # neighbor-structure rebuild (reference initialize_particle_system, :372-375)
 # ---------------------------------------------------------------------------
 
-def bin_and_sort(p: Particles, params: SimParams):
-    """Re-bin particles into the grid, sort, and build neighbor lists."""
+def bin_and_sort(p: Particles, params: SimParams, engine):
+    """Re-bin particles into the grid, sort, and prepare the pair engine."""
     cell_ids = compute_cell_ids(p.x, p.material, params.grid_size,
                                 params.grid_num)
-    p, sorted_ids, _ = sort_by_cell(p, cell_ids)
+    p, sorted_ids = sort_by_cell(p, cell_ids)
     starts = cell_offsets(sorted_ids, params.num_cells)
-    nl = build_neighbor_list(
-        p.x, starts, params.grid_num, params.grid_size,
-        params.support_radius, params.neighbor_cap, params.cell_cap,
-        dim=params.dim)
-    diag = {"max_neighbors": nl.max_cnt,
-            "max_cell_occupancy": max_cell_occupancy(starts)}
-    return p, nl, diag
+    ctx = engine.prepare(p.x, starts)
+    diag = {"max_cell_occupancy": max_cell_occupancy(starts)}
+    return p, ctx, diag
 
 
 # ---------------------------------------------------------------------------
 # Akinci boundary volumes (sph_base.py:91-113)
 # ---------------------------------------------------------------------------
 
-def _boundary_volume(p: Particles, nl, params: SimParams, target_mask):
+def _boundary_volume(p: Particles, ctx, engine, params: SimParams,
+                     target_mask):
     """m_V = 3.0 / (W(0) + sum_{j in solid nbrs} W(|x_i - x_j|)).
 
     The 3.0 compensates missing boundary layers ("by trial and error",
     sph_base.py:98) — preserved for behavioral parity.
     """
     h = params.support_radius
-    xj = p.x[nl.idx]
-    r = p.x[:, None, :] - xj
-    rn = jnp.linalg.norm(r, axis=-1)
-    w = cubic_kernel(rn, h, params.dim)
-    solid_j = p.material[nl.idx] == MATERIAL_SOLID
-    contrib = jnp.where(nl.mask() & solid_j, w, 0.0)
+
+    def term(fi, fj, rvec, rn):
+        w = cubic_kernel(rn, h, params.dim)
+        return {"delta": jnp.where(fj["material"] == MATERIAL_SOLID, w, 0.0)}
+
+    out = engine.traverse(ctx, p.x, {"material": p.material}, term,
+                          {"delta": "scalar"})
     delta = cubic_kernel(jnp.zeros((), p.x.dtype), h, params.dim) \
-        + jnp.sum(contrib, axis=1)
+        + out["delta"]
     m_v = 3.0 / delta
     return p._replace(m_V=jnp.where(target_mask, m_v, p.m_V))
 
 
-def compute_static_boundary_volume(p, nl, params):
-    return _boundary_volume(p, nl, params, p.is_static_rigid())
+def compute_static_boundary_volume(p, ctx, engine, params):
+    return _boundary_volume(p, ctx, engine, params, p.is_static_rigid())
 
 
-def compute_moving_boundary_volume(p, nl, params):
-    return _boundary_volume(p, nl, params, p.is_dynamic_rigid())
+def compute_moving_boundary_volume(p, ctx, engine, params):
+    return _boundary_volume(p, ctx, engine, params, p.is_dynamic_rigid())
 
 
 # ---------------------------------------------------------------------------
@@ -183,17 +184,17 @@ def solve_rigid_body(p: Particles, rest_cm, params: SimParams):
 # ---------------------------------------------------------------------------
 
 class SPHBase:
-    """Owns the static params and the compiled step/initialize programs.
-
-    Subclasses implement `substep(p, nl, dt) -> (p, metrics)` as a pure
-    function (WCSPH.py:152-156 / DFSPH.py:400-408 equivalents).
-    """
+    """Owns the static params, the traversal engine, and the compiled
+    step/initialize programs.  Subclasses implement
+    `substep(p, ctx, dt) -> (p, metrics)` as a pure function
+    (WCSPH.py:152-156 / DFSPH.py:400-408 equivalents)."""
 
     def __init__(self, params: SimParams):
         self.params = params
         self.g = jnp.asarray(params.gravity, jnp.float32)
         self.density_0 = params.density0
         self.viscosity = params.viscosity
+        self.engine = make_engine(params)
         self._step = jax.jit(self.step_fn, donate_argnums=0)
         self._init = jax.jit(self.initialize_fn)
 
@@ -221,10 +222,10 @@ class SPHBase:
     # -- jitted programs ------------------------------------------------------
     def initialize_fn(self, particles: Particles) -> SimState:
         params = self.params
-        p, nl, _ = bin_and_sort(particles, params)
+        p, ctx, _ = bin_and_sort(particles, params, self.engine)
         rest_cm = compute_rigid_rest_cm(p, params)
-        p = compute_static_boundary_volume(p, nl, params)
-        p = compute_moving_boundary_volume(p, nl, params)
+        p = compute_static_boundary_volume(p, ctx, self.engine, params)
+        p = compute_moving_boundary_volume(p, ctx, self.engine, params)
         return SimState(
             p=p, rigid_rest_cm=rest_cm,
             dt=jnp.asarray(params.dt0, jnp.float32),
@@ -234,9 +235,10 @@ class SPHBase:
     def step_fn(self, state: SimState):
         """Reference SPHBase.step (sph_base.py:263-271)."""
         params = self.params
-        p, nl, diag = bin_and_sort(state.p, params)
-        p = compute_moving_boundary_volume(p, nl, params)
-        p, sub_metrics = self.substep(p, nl, state.dt)
+        p, ctx, diag = bin_and_sort(state.p, params, self.engine)
+        if params.n_solid > 0 and params.dynamic_rigid_ids:
+            p = compute_moving_boundary_volume(p, ctx, self.engine, params)
+        p, sub_metrics = self.substep(p, ctx, state.dt)
         p, rigid_info = solve_rigid_body(p, state.rigid_rest_cm, params)
         p = enforce_boundary(p, params, MATERIAL_FLUID)
         new_state = state._replace(
@@ -249,7 +251,7 @@ class SPHBase:
             jnp.where(fluid, jnp.linalg.norm(p.v, axis=-1), 0.0))
         return new_state, metrics
 
-    def substep(self, p, nl, dt):
+    def substep(self, p, ctx, dt):
         raise NotImplementedError
 
 
@@ -257,30 +259,35 @@ class SPHBase:
 # pair-sum building blocks shared by WCSPH / DFSPH
 # ---------------------------------------------------------------------------
 
-def compute_densities(p: Particles, nl, params: SimParams):
+def compute_densities(p: Particles, ctx, engine, params: SimParams):
     """rho_i = rho0 * (m_V_i*W(0) + sum_j m_V_j*W(r_ij)), fluid centers only,
     fluid and solid neighbors both contribute (WCSPH.py:19-43 ==
     DFSPH.py:23-47). Solid/pad densities keep their stored values."""
     h = params.support_radius
-    xj = p.x[nl.idx]
-    rn = jnp.linalg.norm(p.x[:, None, :] - xj, axis=-1)
-    w = cubic_kernel(rn, h, params.dim)
-    m_v_j = p.m_V[nl.idx]
-    valid = nl.mask() & (p.material[nl.idx] != -1)
-    den = p.m_V * cubic_kernel(jnp.zeros((), p.x.dtype), h, params.dim)
-    den = den + jnp.sum(jnp.where(valid, m_v_j * w, 0.0), axis=1)
+
+    def term(fi, fj, rvec, rn):
+        w = cubic_kernel(rn, h, params.dim)
+        return {"den": jnp.where(fj["material"] >= 0, fj["m_V"] * w, 0.0)}
+
+    out = engine.traverse(ctx, p.x,
+                          {"material": p.material, "m_V": p.m_V},
+                          term, {"den": "scalar"})
+    den = p.m_V * cubic_kernel(jnp.zeros((), p.x.dtype), h, params.dim) \
+        + out["den"]
     density = den * params.density0
     return p._replace(density=jnp.where(p.is_fluid(), density, p.density))
 
 
-def compute_non_pressure_forces(p: Particles, nl, params: SimParams, g):
+def compute_non_pressure_forces(p: Particles, ctx, engine,
+                                params: SimParams, g):
     """Gravity for every dynamic particle; surface tension + XSPH-style
     viscosity pair sums for fluid centers (WCSPH.py:88-141 ==
     DFSPH.py:50-102).
 
     The reference's boundary-viscosity reaction scatter onto dynamic rigid
     neighbors multiplies by boundary_viscosity = 0.0 (WCSPH.py:118,
-    DFSPH.py:80) and is therefore exactly zero — intentionally omitted.
+    DFSPH.py:80) and is therefore exactly zero — intentionally omitted,
+    as is the (also zero) solid viscosity term on fluid centers.
     Static rigid acceleration is zeroed (WCSPH.py:131-132).
     """
     h = params.support_radius
@@ -288,34 +295,38 @@ def compute_non_pressure_forces(p: Particles, nl, params: SimParams, g):
     st = params.surface_tension
     visc = params.viscosity
     diameter = params.particle_diameter
+    w_diam = None  # computed inside term with static shapes
 
-    xj = p.x[nl.idx]
-    r = p.x[:, None, :] - xj
-    r2 = jnp.sum(r * r, axis=-1)
-    rn = jnp.sqrt(r2)
-    mat_j = p.material[nl.idx]
-    fluid_j = nl.mask() & (mat_j == MATERIAL_FLUID)
+    def term(fi, fj, rvec, rn):
+        fluid_j = fj["material"] == MATERIAL_FLUID
+        r2 = rn * rn
+        # surface tension (WCSPH.py:92-102): kernel of max(r, diameter)
+        w = cubic_kernel(rn, h, dim)
+        wd = cubic_kernel(jnp.asarray(diameter, rn.dtype), h, dim)
+        w_st = jnp.where(r2 > diameter * diameter, w, wd)
+        st_coef = jnp.where(fluid_j,
+                            -(st / fi["m"]) * fj["m"] * w_st, 0.0)
+        # viscosity (WCSPH.py:105-116)
+        dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"], fi["v2"] - fj["v2"])
+        v_xy = vdot(dv, rvec)
+        gradw_s = cubic_kernel_derivative_scalar(rn, h, dim)
+        d = 2.0 * (dim + 2.0)
+        visc_coef = jnp.where(
+            fluid_j,
+            d * visc * (fj["m"] / fj["density"]) * v_xy
+            / (r2 + 0.01 * h * h) * gradw_s,
+            0.0)
+        coef = st_coef + visc_coef
+        return {"a": vscale(coef, rvec)}
 
-    # ---- surface tension (fluid neighbors only; WCSPH.py:92-102) ----
-    w = cubic_kernel(rn, h, dim)
-    w_diam = cubic_kernel(jnp.asarray(diameter, p.x.dtype), h, dim)
-    w_st = jnp.where(r2 > diameter * diameter, w, w_diam)
-    m_j = p.m[nl.idx]
-    st_coef = jnp.where(fluid_j, (st / p.m[:, None]) * m_j * w_st, 0.0)
-    a_st = -jnp.sum(st_coef[..., None] * r, axis=1)
+    out = engine.traverse(
+        ctx, p.x,
+        {"material": p.material, "m": p.m, "density": p.density,
+         "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
+        term, {"a": "vec"})
+    a_pair = jnp.stack(out["a"], axis=1)
 
-    # ---- viscosity (fluid neighbors; solid term has coefficient 0) ----
-    from sph_taichi_tpu.ops.kernels import cubic_kernel_derivative_scalar
-    d = 2.0 * (dim + 2.0)
-    vj = p.v[nl.idx]
-    v_xy = jnp.sum((p.v[:, None, :] - vj) * r, axis=-1)
-    dens_j = p.density[nl.idx]
-    gradw_scale = cubic_kernel_derivative_scalar(rn, h, dim)
-    coef = d * visc * (m_j / dens_j) * v_xy / (r2 + 0.01 * h * h)
-    coef = jnp.where(fluid_j, coef * gradw_scale, 0.0)
-    a_visc = jnp.sum(coef[..., None] * r, axis=1)
-
-    acc = g[None, :] + jnp.where(p.is_fluid()[:, None], a_st + a_visc, 0.0)
+    acc = g[None, :] + jnp.where(p.is_fluid()[:, None], a_pair, 0.0)
     acc = jnp.where(p.is_static_rigid()[:, None], 0.0, acc)
     acc = jnp.where((p.material == -1)[:, None], 0.0, acc)  # padding inert
     return p._replace(acc=acc)

@@ -18,7 +18,7 @@ Parity notes:
   fewer than 20 (3D) / 7 (2D) neighbors (DFSPH.py:171-176);
 - m_eps = 1e-5 stiffness gate (DFSPH.py:17,300,375);
 - the alpha factor is rescaled by 1/dt (divergence) and 1/dt^2 (pressure)
-  around each solve on fluid particles only (DFSPH.py:229-233,241,267,323);
+  around each solve (DFSPH.py:229-233,241,267,323);
 - the divergence solver's reaction scatter onto dynamic rigid bodies
   (DFSPH.py:310-311) is *discarded* by the reference: compute_non_pressure_
   forces runs right after and resets every dynamic particle's acceleration
@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from sph_taichi_tpu.state import MATERIAL_FLUID, MATERIAL_SOLID, Particles
 from sph_taichi_tpu.ops.kernels import cubic_kernel_derivative_scalar
+from sph_taichi_tpu.ops.pairs import vdot, vscale
 from sph_taichi_tpu.models.base import (
     SPHBase, compute_densities, compute_non_pressure_forces)
 
@@ -49,64 +50,79 @@ class DFSPHSolver(SPHBase):
         super().__init__(params)
 
     # ------------------------------------------------------------------
-    def _pair_geometry(self, p: Particles, nl):
-        """Shared per-step pair quantities: -m_V_j * gradW(x_i - x_j)."""
-        params = self.params
-        h = params.support_radius
-        xj = p.x[nl.idx]
-        r = p.x[:, None, :] - xj
-        rn = jnp.linalg.norm(r, axis=-1)
-        gradw = cubic_kernel_derivative_scalar(rn, h, params.dim)[..., None] * r
-        mat_j = p.material[nl.idx]
-        valid = nl.mask()
-        fluid_j = valid & (mat_j == MATERIAL_FLUID)
-        solid_j = valid & (mat_j == MATERIAL_SOLID)
-        m_v_j = p.m_V[nl.idx]
-        grad_p_j = -m_v_j[..., None] * gradw   # DFSPH.py:146 etc.
-        return dict(gradw=gradw, grad_p_j=grad_p_j, fluid_j=fluid_j,
-                    solid_j=solid_j, m_v_j=m_v_j)
-
-    # ------------------------------------------------------------------
-    def compute_factor(self, p: Particles, nl, geo):
+    def compute_factor(self, p: Particles, ctx):
         """alpha_i = -1 / (|sum grad|^2 + sum |grad|^2) (DFSPH.py:115-155).
 
         Fluid neighbors contribute to both terms; solid neighbors only to
         the gradient sum. factor = 0 when denominator <= 1e-6."""
-        grad_p_j = geo["grad_p_j"]
-        fluid_j, solid_j = geo["fluid_j"], geo["solid_j"]
-        both = (fluid_j | solid_j)[..., None]
-        grad_p_i = -jnp.sum(jnp.where(both, grad_p_j, 0.0), axis=1)
-        sum_sq = jnp.sum(
-            jnp.where(fluid_j, jnp.sum(grad_p_j * grad_p_j, axis=-1), 0.0),
-            axis=1)
-        sum_grad_p_k = sum_sq + jnp.sum(grad_p_i * grad_p_i, axis=-1)
+        params = self.params
+        h = params.support_radius
+
+        def term(fi, fj, rvec, rn):
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            # grad_p_j = -m_V_j * gradW(x_i - x_j)
+            gcoef = -fj["m_V"] * gradw_s
+            real = fj["material"] >= 0
+            # grad_p_i -= grad_p_j for both fluid and solid neighbors
+            gi = vscale(jnp.where(real, -gcoef, 0.0), rvec)
+            sq = jnp.where(fj["material"] == MATERIAL_FLUID,
+                           gcoef * gcoef * (rn * rn), 0.0)
+            return {"grad": gi, "sq": sq}
+
+        out = self.engine.traverse(
+            ctx, p.x, {"material": p.material, "m_V": p.m_V},
+            term, {"grad": "vec", "sq": "scalar"})
+        gx, gy, gz = out["grad"]
+        sum_grad_p_k = out["sq"] + gx * gx + gy * gy + gz * gz
         factor = jnp.where(sum_grad_p_k > 1e-6, -1.0 / sum_grad_p_k, 0.0)
         return jnp.where(p.is_fluid(), factor, 0.0)
 
-    def _density_change(self, p: Particles, nl, geo, v):
+    def _density_change(self, p: Particles, ctx, v):
         """d(rho)/dt term, clamped >= 0, zeroed on particle deficiency
-        (compute_density_change, DFSPH.py:158-194)."""
-        vj = v[nl.idx]
-        dvel = v[:, None, :] - vj
-        div = jnp.sum(
-            jnp.where(geo["fluid_j"] | geo["solid_j"],
-                      geo["m_v_j"] * jnp.sum(dvel * geo["gradw"], axis=-1),
-                      0.0), axis=1)
-        adv = jnp.maximum(div, 0.0)
-        min_nbr = 20 if self.params.dim == 3 else 7
-        adv = jnp.where(nl.cnt < min_nbr, 0.0, adv)
+        (compute_density_change, DFSPH.py:158-194). Also returns the
+        neighbor count used for the deficiency test."""
+        params = self.params
+        h = params.support_radius
+
+        def term(fi, fj, rvec, rn):
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"],
+                  fi["v2"] - fj["v2"])
+            real = fj["material"] >= 0
+            div = jnp.where(real, fj["m_V"] * gradw_s * vdot(dv, rvec), 0.0)
+            return {"div": div, "cnt": jnp.where(real, 1.0, 0.0)}
+
+        out = self.engine.traverse(
+            ctx, p.x,
+            {"material": p.material, "m_V": p.m_V,
+             "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]},
+            term, {"div": "scalar", "cnt": "scalar"})
+        adv = jnp.maximum(out["div"], 0.0)
+        min_nbr = 20 if params.dim == 3 else 7
+        adv = jnp.where(out["cnt"] < min_nbr, 0.0, adv)
         return jnp.where(p.is_fluid(), adv, 0.0)
 
-    def _density_adv(self, p: Particles, nl, geo, v, density, dt):
+    def _density_adv(self, p: Particles, ctx, v, density, dt):
         """rho*/rho0 = rho/rho0 + dt*div, clamped >= 1
         (compute_density_adv, DFSPH.py:197-218)."""
-        vj = v[nl.idx]
-        dvel = v[:, None, :] - vj
-        div = jnp.sum(
-            jnp.where(geo["fluid_j"] | geo["solid_j"],
-                      geo["m_v_j"] * jnp.sum(dvel * geo["gradw"], axis=-1),
-                      0.0), axis=1)
-        adv = density / self.density_0 + dt * div
+        params = self.params
+        h = params.support_radius
+
+        def term(fi, fj, rvec, rn):
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"],
+                  fi["v2"] - fj["v2"])
+            real = fj["material"] >= 0
+            return {"div": jnp.where(real,
+                                     fj["m_V"] * gradw_s * vdot(dv, rvec),
+                                     0.0)}
+
+        out = self.engine.traverse(
+            ctx, p.x,
+            {"material": p.material, "m_V": p.m_V,
+             "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]},
+            term, {"div": "scalar"})
+        adv = density / self.density_0 + dt * out["div"]
         adv = jnp.maximum(adv, 1.0)
         return jnp.where(p.is_fluid(), adv, 0.0)
 
@@ -118,41 +134,71 @@ class DFSPHSolver(SPHBase):
         return err / self.params.n_fluid
 
     # ------------------------------------------------------------------
-    def divergence_solve(self, p: Particles, nl, geo, dt):
-        """DFSPH.py:236-311 as a lax.while_loop; returns updated velocity."""
-        factor = p.dfsph_factor / dt   # multiply_time_step(inv_dt), fluid-only values
+    def _solver_dv(self, p, ctx, kappa, with_reaction, dt):
+        """One Jacobi velocity update:
+        dv_i = -dt * sum_fluid_j [k_i + k_j] grad_p_j
+               -dt * sum_solid_j k_i grad_p_j         (gated on m_eps)
+        plus (optionally) the rigid reaction sum for dynamic-rigid centers
+        (gather form of DFSPH.py:388-389):
+        da_c = sum_fluid_k (|k_k|>eps) k_k * m_V_c * gradW(x_c-x_k) * rho_k/rho_c
+        """
+        params = self.params
+        h = params.support_radius
+        eps = self.m_eps
+
+        def term(fi, fj, rvec, rn):
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            fluid_j = fj["material"] == MATERIAL_FLUID
+            solid_j = fj["material"] == MATERIAL_SOLID
+            k_i = fi["kappa"]
+            k_j = fj["kappa"]
+            k_sum = k_i + k_j
+            # grad_p_j = -m_V_j * gradw_s * rvec
+            coef_fluid = jnp.where(
+                fluid_j & (jnp.abs(k_sum) > eps),
+                dt * k_sum * fj["m_V"] * gradw_s, 0.0)
+            coef_solid = jnp.where(
+                solid_j & (jnp.abs(k_i) > eps),
+                dt * k_i * fj["m_V"] * gradw_s, 0.0)
+            outs = {"dv": vscale(coef_fluid + coef_solid, rvec)}
+            if with_reaction:
+                rc = jnp.where(
+                    fluid_j & (jnp.abs(k_j) > eps),
+                    k_j * fi["m_V"] * gradw_s * (fj["density"] / fi["density"]),
+                    0.0)
+                outs["react"] = vscale(rc, rvec)
+            return outs
+
+        fields = {"material": p.material, "m_V": p.m_V, "kappa": kappa}
+        specs = {"dv": "vec"}
+        if with_reaction:
+            fields["density"] = p.density
+            specs["react"] = "vec"
+        out = self.engine.traverse(ctx, p.x, fields, term, specs)
+        dv = jnp.stack(out["dv"], axis=1)
+        react = jnp.stack(out["react"], axis=1) if with_reaction else None
+        return dv, react
+
+    # ------------------------------------------------------------------
+    def divergence_solve(self, p: Particles, ctx, dt):
+        """DFSPH.py:236-311 as a lax.while_loop."""
+        factor = p.dfsph_factor / dt   # multiply_time_step(inv_dt)
         eta = (1.0 / dt) * self.max_error_V * 0.01 * self.density_0
-        adv0 = self._density_change(p, nl, geo, p.v)
-        idx = nl.idx
-        fluid_j, solid_j = geo["fluid_j"], geo["solid_j"]
-        grad_p_j = geo["grad_p_j"]
+        adv0 = self._density_change(p, ctx, p.v)
         is_fluid_c = p.is_fluid()
-
-        def one_iteration(v, adv):
-            k = adv * factor                       # k_i per particle
-            k_i = k[:, None]
-            k_j = k[idx]
-            k_sum = k_i + k_j                      # rho0/rho0 * k_j == k_j
-            dv_fluid = jnp.where(
-                (fluid_j & (jnp.abs(k_sum) > self.m_eps))[..., None],
-                -dt * k_sum[..., None] * grad_p_j, 0.0)
-            dv_solid = jnp.where(
-                (solid_j & (jnp.abs(k_i) > self.m_eps))[..., None],
-                -dt * k_i[..., None] * grad_p_j, 0.0)
-            dv = jnp.sum(dv_fluid + dv_solid, axis=1)
-            v = jnp.where(is_fluid_c[:, None], v + dv, v)
-            adv = self._density_change(p, nl, geo, v)
-            err = self._avg_density_error(p, adv, 0.0)
-            return v, adv, err
-
-        def cond(carry):
-            v, adv, err, it = carry
-            return (it == 0) | ((err > eta) & (it < self.m_max_iterations_v))
 
         def body(carry):
             v, adv, _, it = carry
-            v, adv, err = one_iteration(v, adv)
+            kappa = adv * factor
+            dv, _ = self._solver_dv(p, ctx, kappa, False, dt)
+            v = jnp.where(is_fluid_c[:, None], v + dv, v)
+            adv = self._density_change(p, ctx, v)
+            err = self._avg_density_error(p, adv, 0.0)
             return v, adv, err, it + 1
+
+        def cond(carry):
+            _, _, err, it = carry
+            return (it == 0) | ((err > eta) & (it < self.m_max_iterations_v))
 
         init = (p.v, adv0, jnp.zeros((), jnp.float32),
                 jnp.zeros((), jnp.int32))
@@ -161,65 +207,31 @@ class DFSPHSolver(SPHBase):
         return p, {"divergence_iters": iters, "divergence_error": err}
 
     # ------------------------------------------------------------------
-    def pressure_solve(self, p: Particles, nl, geo, dt):
-        """DFSPH.py:314-389 as a lax.while_loop.
-
-        Updates fluid velocity and accumulates the two-way reaction onto
-        dynamic rigid accelerations (gather form of DFSPH.py:388-389)."""
+    def pressure_solve(self, p: Particles, ctx, dt):
+        """DFSPH.py:314-389 as a lax.while_loop, accumulating the two-way
+        reaction on dynamic-rigid accelerations across iterations."""
+        params = self.params
         factor = p.dfsph_factor / (dt * dt)
         eta = self.max_error * 0.01 * self.density_0
-        adv0 = self._density_adv(p, nl, geo, p.v, p.density, dt)
-        idx = nl.idx
-        fluid_j, solid_j = geo["fluid_j"], geo["solid_j"]
-        grad_p_j = geo["grad_p_j"]
-        gradw = geo["gradw"]
+        adv0 = self._density_adv(p, ctx, p.v, p.density, dt)
         is_fluid_c = p.is_fluid()
         is_dyn_rigid_c = p.is_dynamic_rigid()
-
-        # reaction ingredients seen from the rigid center c with fluid
-        # neighbor k: vel_change(k,c) = -dt * k_k * (-m_V_c * gradW(x_k-x_c))
-        #           = -dt * k_k * m_V_c * gradw(c,k)
-        # acc_c += -vel_change/dt * rho_k / rho_c
-        #        =  k_k * m_V_c * gradw(c,k) * rho_k / rho_c
-        rho_k = p.density[idx]
-        rho_ratio = rho_k / p.density[:, None]
-        m_v_c = p.m_V[:, None]
-
-        def one_iteration(v, acc, adv):
-            b = adv - 1.0
-            k = b * factor
-            k_i = k[:, None]
-            k_j = k[idx]
-            k_sum = k_i + k_j
-            dv_fluid = jnp.where(
-                (fluid_j & (jnp.abs(k_sum) > self.m_eps))[..., None],
-                -dt * k_sum[..., None] * grad_p_j, 0.0)
-            dv_solid = jnp.where(
-                (solid_j & (jnp.abs(k_i) > self.m_eps))[..., None],
-                -dt * k_i[..., None] * grad_p_j, 0.0)
-            dv = jnp.sum(dv_fluid + dv_solid, axis=1)
-            v = jnp.where(is_fluid_c[:, None], v + dv, v)
-
-            # rigid reaction: sum over fluid neighbors k with |k_k| > eps
-            k_k = k[idx]
-            da = jnp.where(
-                (fluid_j & (jnp.abs(k_k) > self.m_eps))[..., None],
-                (k_k * m_v_c * rho_ratio)[..., None] * gradw, 0.0)
-            acc = jnp.where(is_dyn_rigid_c[:, None],
-                            acc + jnp.sum(da, axis=1), acc)
-
-            adv = self._density_adv(p, nl, geo, v, p.density, dt)
-            err = self._avg_density_error(p, adv, self.density_0)
-            return v, acc, adv, err
-
-        def cond(carry):
-            v, acc, adv, err, it = carry
-            return (it == 0) | ((err > eta) & (it < self.m_max_iterations))
+        has_dyn_rigid = bool(params.dynamic_rigid_ids)
 
         def body(carry):
             v, acc, adv, _, it = carry
-            v, acc, adv, err = one_iteration(v, acc, adv)
+            kappa = (adv - 1.0) * factor
+            dv, react = self._solver_dv(p, ctx, kappa, has_dyn_rigid, dt)
+            v = jnp.where(is_fluid_c[:, None], v + dv, v)
+            if has_dyn_rigid:
+                acc = jnp.where(is_dyn_rigid_c[:, None], acc + react, acc)
+            adv = self._density_adv(p, ctx, v, p.density, dt)
+            err = self._avg_density_error(p, adv, self.density_0)
             return v, acc, adv, err, it + 1
+
+        def cond(carry):
+            _, _, _, err, it = carry
+            return (it == 0) | ((err > eta) & (it < self.m_max_iterations))
 
         init = (p.v, p.acc, adv0, jnp.zeros((), jnp.float32),
                 jnp.zeros((), jnp.int32))
@@ -242,17 +254,16 @@ class DFSPHSolver(SPHBase):
         return p._replace(v=v, x=x)
 
     # ------------------------------------------------------------------
-    def substep(self, p: Particles, nl, dt):
-        p = compute_densities(p, nl, self.params)
-        geo = self._pair_geometry(p, nl)
-        p = p._replace(dfsph_factor=self.compute_factor(p, nl, geo))
+    def substep(self, p: Particles, ctx, dt):
+        p = compute_densities(p, ctx, self.engine, self.params)
+        p = p._replace(dfsph_factor=self.compute_factor(p, ctx))
         metrics = {}
         if self.enable_divergence_solver:
-            p, m = self.divergence_solve(p, nl, geo, dt)
+            p, m = self.divergence_solve(p, ctx, dt)
             metrics.update(m)
-        p = compute_non_pressure_forces(p, nl, self.params, self.g)
+        p = compute_non_pressure_forces(p, ctx, self.engine, self.params, self.g)
         p = self.predict_velocity(p, dt)
-        p, m = self.pressure_solve(p, nl, geo, dt)
+        p, m = self.pressure_solve(p, ctx, dt)
         metrics.update(m)
         p = self.advect(p, dt)
         return p, metrics

@@ -1,8 +1,8 @@
 """Weakly-compressible SPH solver (TPU-native counterpart of WCSPH.py).
 
 Substep pipeline (WCSPH.py:152-156): densities -> non-pressure forces ->
-Tait-EOS pressure forces -> symplectic Euler advection, as one fused jnp
-program over the per-step neighbor lists.
+Tait-EOS pressure forces -> symplectic Euler advection, with every pair
+sum evaluated by the pluggable traversal engine.
 
 Behavioral parity notes (quirks intentionally preserved):
 - density is clamped to >= rho0 *and stored* before the EOS (WCSPH.py:75);
@@ -12,14 +12,16 @@ Behavioral parity notes (quirks intentionally preserved):
   reaction on rigid bodies vanishes exactly;
 - two-way coupling: the reference's atomic scatter
   `acceleration[p_j] += -f_p * rho0 / rho_j` (WCSPH.py:67-68) is computed
-  here from the rigid particle's side as a gather over its fluid
-  neighbors — same pair terms, deterministic summation.
+  here from the rigid particle's side as a sum over its fluid
+  neighbors — same pair terms, deterministic summation.  Both the fluid
+  pressure acceleration and the rigid reaction come out of ONE traversal.
 """
 
 import jax.numpy as jnp
 
 from sph_taichi_tpu.state import MATERIAL_FLUID, MATERIAL_SOLID, Particles
 from sph_taichi_tpu.ops.kernels import cubic_kernel_derivative_scalar
+from sph_taichi_tpu.ops.pairs import vscale
 from sph_taichi_tpu.models.base import (
     SPHBase, compute_densities, compute_non_pressure_forces)
 
@@ -30,15 +32,15 @@ class WCSPHSolver(SPHBase):
         self.stiffness = params.stiffness    # WCSPH.py:12-13
         super().__init__(params)
 
-    def substep(self, p: Particles, nl, dt):
+    def substep(self, p: Particles, ctx, dt):
         params = self.params
-        p = compute_densities(p, nl, params)
-        p = compute_non_pressure_forces(p, nl, params, self.g)
-        p = self.compute_pressure_forces(p, nl)
+        p = compute_densities(p, ctx, self.engine, params)
+        p = compute_non_pressure_forces(p, ctx, self.engine, params, self.g)
+        p = self.compute_pressure_forces(p, ctx)
         p = self.advect(p, dt)
         return p, {}
 
-    def compute_pressure_forces(self, p: Particles, nl):
+    def compute_pressure_forces(self, p: Particles, ctx):
         """WCSPH.py:46-85 + the rigid reaction of :67-68 in gather form."""
         params = self.params
         h = params.support_radius
@@ -53,40 +55,39 @@ class WCSPHSolver(SPHBase):
             p.pressure)
         p = p._replace(density=density, pressure=pressure)
 
-        # -- shared pair geometry --
-        xj = p.x[nl.idx]
-        r = p.x[:, None, :] - xj            # x_i - x_j
-        rn = jnp.linalg.norm(r, axis=-1)
-        gradw = cubic_kernel_derivative_scalar(rn, h, params.dim)[..., None] * r
-        mat_j = p.material[nl.idx]
-        valid = nl.mask()
-        fluid_j = valid & (mat_j == MATERIAL_FLUID)
-        solid_j = valid & (mat_j == MATERIAL_SOLID)
-        m_v_j = p.m_V[nl.idx]
+        def term(fi, fj, rvec, rn):
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            fluid_j = fj["material"] == MATERIAL_FLUID
+            solid_j = fj["material"] == MATERIAL_SOLID
 
-        # -- fluid-centered pressure acceleration (WCSPH.py:47-66) --
-        dpi = p.pressure / (p.density * p.density)          # (N,)
-        dpj_fluid = p.pressure[nl.idx] / jnp.square(p.density[nl.idx])
-        dpj_solid = (p.pressure / (rho0 * rho0))[:, None]   # mirror: p_i / rho0^2
-        dpj = jnp.where(fluid_j, dpj_fluid, dpj_solid)
-        coef = jnp.where(fluid_j | solid_j,
-                         -rho0 * m_v_j * (dpi[:, None] + dpj), 0.0)
-        dv = jnp.sum(coef[..., None] * gradw, axis=1)
+            # fluid-centered pressure acceleration (WCSPH.py:47-66):
+            # gradW(x_i - x_j) = gradw_s * rvec
+            dpi = fi["pressure"] / (fi["density"] * fi["density"])
+            dpj_fluid = fj["pressure"] / (fj["density"] * fj["density"])
+            dpj_solid = fi["pressure"] / (rho0 * rho0)  # mirror p_j := p_i
+            dpj = jnp.where(fluid_j, dpj_fluid, dpj_solid)
+            coef = jnp.where(fluid_j | solid_j,
+                             -rho0 * fj["m_V"] * (dpi + dpj) * gradw_s, 0.0)
 
-        # -- reaction on dynamic rigid centers (gather form of WCSPH.py:67-68)
-        # For rigid j with fluid neighbor i:
-        #   f_p(i,j) = -rho0 * m_V_j * (p_i/rho_i^2 + p_i/rho0^2) * gradW(x_i - x_j)
-        #   acc_j += -f_p * rho0 / rho_j
-        # Here the center is the rigid particle (call it c) and neighbors are
-        # its fluid particles (call them k): gradW(x_k - x_c) = -gradw_ck.
-        p_i = p.pressure[nl.idx]                    # fluid neighbor pressure
-        rho_i = p.density[nl.idx]
-        dpi_k = p_i / (rho_i * rho_i) + p_i / (rho0 * rho0)
-        # f_p seen from the rigid side: -rho0 * m_V_c * dpi_k * (-gradw)
-        f_p = (rho0 * p.m_V[:, None] * dpi_k)[..., None] * gradw
-        react = -f_p * (rho0 / p.density)[:, None, None]
-        react = jnp.where(fluid_j[..., None], react, 0.0)
-        a_react = jnp.sum(react, axis=1)
+            # reaction on dynamic-rigid centers (WCSPH.py:67-68 as gather):
+            # center c rigid, neighbor k fluid:
+            #   f_p(k,c) = -rho0*m_V_c*(p_k/rho_k^2 + p_k/rho0^2)*gradW(x_k-x_c)
+            #   acc_c += -f_p * rho0/rho_c,  gradW(x_k-x_c) = -gradw_s*rvec
+            dpi_k = fj["pressure"] / (fj["density"] * fj["density"]) \
+                + fj["pressure"] / (rho0 * rho0)
+            react_coef = jnp.where(
+                fluid_j,
+                -(rho0 * fi["m_V"] * dpi_k) * (rho0 / fi["density"]) * gradw_s,
+                0.0)
+            return {"dv": vscale(coef, rvec), "react": vscale(react_coef, rvec)}
+
+        out = self.engine.traverse(
+            ctx, p.x,
+            {"material": p.material, "m_V": p.m_V, "density": p.density,
+             "pressure": p.pressure},
+            term, {"dv": "vec", "react": "vec"})
+        dv = jnp.stack(out["dv"], axis=1)
+        a_react = jnp.stack(out["react"], axis=1)
 
         is_dyn_rigid = p.is_dynamic_rigid()
         acc = jnp.where(p.is_fluid()[:, None], p.acc + dv, p.acc)

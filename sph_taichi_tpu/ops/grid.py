@@ -57,13 +57,38 @@ def sort_by_cell(particles, cell_ids):
 
     Replaces the reference's atomic counting sort (particle_system.py:322-369).
     Deterministic: equal keys keep their relative order.
-    Returns (sorted_particles, sorted_cell_ids, permutation).
+
+    Implementation note: every field rides through one multi-operand
+    ``lax.sort`` (the payload moves inside the sort network, fully
+    vectorized).  The obvious argsort-then-gather alternative is ~100x
+    slower on TPU, where irregular gathers serialize.
+    Returns (sorted_particles, sorted_cell_ids).
     """
-    n = cell_ids.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    sorted_ids, perm = jax.lax.sort_key_val(cell_ids, iota, is_stable=True)
-    sorted_particles = jax.tree_util.tree_map(lambda a: a[perm], particles)
-    return sorted_particles, sorted_ids, perm
+    leaves, treedef = jax.tree_util.tree_flatten(particles)
+    operands = [cell_ids]
+    layout = []  # (n_components,) per leaf
+    for a in leaves:
+        if a.ndim == 1:
+            operands.append(a)
+            layout.append(1)
+        else:
+            for d in range(a.shape[1]):
+                operands.append(a[:, d])
+            layout.append(a.shape[1])
+    out = jax.lax.sort(tuple(operands), dimension=0, is_stable=True,
+                       num_keys=1)
+    sorted_ids = out[0]
+    sorted_leaves = []
+    pos = 1
+    for a, ncomp in zip(leaves, layout):
+        if ncomp == 1:
+            sorted_leaves.append(out[pos])
+            pos += 1
+        else:
+            sorted_leaves.append(jnp.stack(out[pos:pos + ncomp], axis=1))
+            pos += ncomp
+    sorted_particles = jax.tree_util.tree_unflatten(treedef, sorted_leaves)
+    return sorted_particles, sorted_ids
 
 
 def cell_offsets(sorted_cell_ids, num_cells):

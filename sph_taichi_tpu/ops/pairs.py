@@ -1,0 +1,141 @@
+"""Pair-interaction traversal engines.
+
+The reference's `for_all_neighbors(p_i, task, ret)` template
+(particle_system.py:378-385) is the single abstraction every solver kernel
+is written against.  This module is its TPU-native counterpart: a solver
+expresses each pair sum as a *term function* over (center fields, neighbor
+fields, pair geometry), and an engine evaluates
+
+    out[name][i] = sum_j  term(f_i, f_j, r_ij)[name]
+                   over j != i with |x_i - x_j| < support_radius
+
+Two engines implement the same contract:
+
+- GatherEngine (this file): materializes fixed-K neighbor index lists and
+  evaluates terms on (N, K) gathered slots.  Irregular gathers are fast on
+  CPU, so this is the portable/test backend (and the oracle the Pallas
+  engine is validated against).
+- PallasEngine (ops/pallas_pairs.py): measured TPU behavior shows random
+  gathers/scatters run ~300x slower than structured ops, so the TPU
+  backend never gathers: it streams whole grid *rows* (contiguous z-runs
+  of cells in the sorted particle array) through VMEM with async DMA and
+  evaluates terms on windowed all-pair tiles.
+
+Term-function contract (shared by both engines):
+
+    term_fn(fi, fj, rvec, rn) -> dict[name, contribution]
+
+- fi / fj: dict of field name -> broadcastable array (center / neighbor
+  side).  Vector fields are passed *component-wise* ("vx","vy","vz") so
+  the Pallas engine never materializes (..., 3)-trailing tensors (bad TPU
+  tiling).  fi/fj always include position components "x0","x1","x2" and
+  the global sorted index "gidx".
+- rvec: 3-tuple of (component arrays) x_i - x_j; rn = |rvec|.
+- contributions: scalar array, or 3-tuple of arrays for vector outputs.
+- Contributions are evaluated on every candidate slot and masked by the
+  engine (radius / self / validity) with jnp.where — terms may divide by
+  garbage on invalid slots.
+"""
+
+from typing import Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sph_taichi_tpu.ops.neighbors import build_neighbor_list
+
+
+def v3(ax, ay, az):
+    return (ax, ay, az)
+
+
+def vdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def vscale(s, a):
+    return (s * a[0], s * a[1], s * a[2])
+
+
+def vadd(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def vsub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def split_fields(p, params, names):
+    """Particles -> flat dict of (N,) f32/i32 component fields."""
+    out = {}
+    for n in names:
+        a = getattr(p, n)
+        if a.ndim == 2:
+            for d in range(a.shape[1]):
+                out[f"{n}{d}"] = a[:, d]
+        else:
+            out[n] = a
+    return out
+
+
+class GatherEngine:
+    """(N, K) neighbor-list engine; fast wherever irregular gathers are."""
+
+    def __init__(self, params):
+        self.params = params
+
+    def prepare(self, x, cell_starts):
+        params = self.params
+        nl = build_neighbor_list(
+            x, cell_starts, params.grid_num, params.grid_size,
+            params.support_radius, params.neighbor_cap, params.cell_cap,
+            dim=params.dim)
+        return nl
+
+    def traverse(self, ctx, x, fields: Dict[str, jnp.ndarray],
+                 term_fn: Callable, out_specs: Dict[str, str]):
+        nl = ctx
+        params = self.params
+        n = x.shape[0]
+        idx = nl.idx
+        gidx = jnp.arange(n, dtype=jnp.int32)
+
+        fi = {k: v[:, None] for k, v in fields.items()}
+        fj = {k: v[idx] for k, v in fields.items()}
+        for d in range(params.dim):
+            fi[f"x{d}"] = x[:, None, d]
+            fj[f"x{d}"] = x[:, d][idx]
+        fi["gidx"] = gidx[:, None]
+        fj["gidx"] = idx
+
+        rvec = tuple(fi[f"x{d}"] - fj[f"x{d}"] for d in range(params.dim))
+        if params.dim == 2:
+            rvec = rvec + (jnp.zeros_like(rvec[0]),)
+        rn = jnp.sqrt(sum(c * c for c in rvec))
+        valid = nl.mask()  # slot < cnt; radius+self already filtered at build
+
+        contribs = term_fn(fi, fj, rvec, rn)
+        outs = {}
+        for name, spec in out_specs.items():
+            c = contribs[name]
+            if spec == "vec":
+                outs[name] = tuple(
+                    jnp.sum(jnp.where(valid, jnp.broadcast_to(comp, valid.shape), 0.0), axis=1)
+                    for comp in c)
+            else:
+                outs[name] = jnp.sum(
+                    jnp.where(valid, jnp.broadcast_to(c, valid.shape), 0.0), axis=1)
+        return outs
+
+
+def make_engine(params):
+    backend = params.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "gather"
+    if backend == "pallas":
+        from sph_taichi_tpu.ops.pallas_pairs import PallasEngine
+        return PallasEngine(params)
+    if backend == "pallas_interpret":  # CPU validation of the TPU kernel
+        from sph_taichi_tpu.ops.pallas_pairs import PallasEngine
+        return PallasEngine(params, interpret=True)
+    return GatherEngine(params)

@@ -1,0 +1,143 @@
+"""High-level Simulation wrapper: scene -> solver -> frames -> exports.
+
+Plays the role of the reference's run_simulation.py main loop
+(run_simulation.py:18-118) minus the interactive GGUI window: frames are
+advanced with a compiled multi-substep program and exported headlessly
+(PNG splat render / PLY particle series / OBJ shape-matched meshes) at
+the reference cadence ``int(0.016 / timeStepSize)`` (run_simulation.py:23).
+"""
+
+import os
+
+import numpy as np
+
+from sph_taichi_tpu import build_scene, build_solver
+from sph_taichi_tpu.config import SimConfig
+from sph_taichi_tpu.utils import exporters
+from sph_taichi_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+
+class Simulation:
+    def __init__(self, scene_path=None, config=None, scene_dir=None,
+                 output_dir=None, backend=None):
+        self.config = config or SimConfig(scene_path)
+        if scene_dir is None:
+            scene_dir = os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(scene_path)))) \
+                if scene_path else "."
+        self.scene_name = (os.path.basename(scene_path).split(".")[0]
+                           if scene_path else "scene")
+        self.params, particles, self.objects = build_scene(
+            self.config, scene_dir=scene_dir)
+        if backend:
+            import dataclasses
+            self.params = dataclasses.replace(self.params, backend=backend)
+        self.solver = build_solver(self.params)
+        self.state = self.solver.initialize(particles)
+        self.metrics = None
+        self.frame = 0
+        self.export_count = 0
+
+        self.substeps = int(self.config.get_cfg(
+            "numberOfStepsPerRenderUpdate") or 1)
+        self.output_frames = bool(self.config.get_cfg("exportFrame"))
+        self.output_ply = bool(self.config.get_cfg("exportPly"))
+        self.output_obj = bool(self.config.get_cfg("exportObj"))
+        dt = float(self.config.get_cfg("timeStepSize"))
+        self.output_interval = max(int(0.016 / dt), 1)
+        self.output_dir = output_dir or f"{self.scene_name}_output"
+        self.invisible_objects = self.config.get_cfg("invisibleObjects") or []
+        self._frame_fn = None
+
+        dom_end = self.config.get_cfg("domainEnd")
+        self.camera = exporters.Camera()
+
+    # ------------------------------------------------------------------
+    def run_frame(self):
+        """substeps x solver.step, as one compiled program."""
+        if self._frame_fn is None:
+            self._frame_fn = self.solver.make_frame_fn(self.substeps)
+        self.state, self.metrics = self._frame_fn(self.state)
+        self.frame += 1
+
+    def run(self, n_frames, export=True, checkpoint_interval=0,
+            progress=False):
+        for _ in range(n_frames):
+            self.run_frame()
+            if export and (self.frame - 1) % self.output_interval == 0:
+                self.export_frame()
+                self.export_count += 1
+            if checkpoint_interval and self.frame % checkpoint_interval == 0:
+                self.save(os.path.join(self.output_dir, "checkpoint.npz"))
+            if progress:
+                print(f"frame {self.frame}", flush=True)
+
+    # ------------------------------------------------------------------
+    def dump(self, obj_id):
+        """{'position','velocity'} for one object
+        (ParticleSystem.dump, particle_system.py:409-418)."""
+        p = self.state.p
+        mask = np.asarray(p.object_id) == obj_id
+        return {"position": np.asarray(p.x)[mask],
+                "velocity": np.asarray(p.v)[mask]}
+
+    def visible_particles(self):
+        p = self.state.p
+        obj = np.asarray(p.object_id)
+        mat = np.asarray(p.material)
+        mask = mat >= 0
+        for inv in self.invisible_objects:
+            mask &= obj != inv
+        return (np.asarray(p.x)[mask],
+                np.clip(np.asarray(p.color)[mask], 0, 255).astype(np.uint8))
+
+    # ------------------------------------------------------------------
+    def export_frame(self):
+        cnt = self.frame - 1
+        k = self.export_count
+        if self.output_frames:
+            pos, col = self.visible_particles()
+            exporters.render_png(
+                os.path.join(f"{self.scene_name}_output_img",
+                             f"{cnt:06}.png"),
+                pos, col, camera=self.camera)
+        if self.output_ply:
+            obj_data = self.dump(obj_id=0)
+            exporters.write_ply_ascii(
+                exporters.ply_series_path(
+                    os.path.join(self.output_dir, "particle_object_0.ply"),
+                    k),
+                obj_data["position"])
+        if self.output_obj:
+            self._export_objs(k)
+
+    def _export_objs(self, k):
+        """Shape-matched OBJ per dynamic rigid body (run_simulation.py:108-112
+        + sph_base.py:253-257)."""
+        if self.metrics is None:
+            return
+        rigid = self.metrics.get("rigid", {})
+        rot = np.asarray(rigid.get("R"))
+        cm = np.asarray(rigid.get("cm"))
+        # metrics from a scanned frame have a leading substep axis
+        if rot.ndim == 4:
+            rot, cm = rot[-1], cm[-1]
+        for i, obj_id in enumerate(self.params.dynamic_rigid_ids):
+            mesh = self.objects.meshes.get(obj_id)
+            if mesh is None:
+                continue
+            verts = exporters.shape_matched_vertices(
+                self.objects.rest_positions[obj_id],
+                self.objects.rest_centers[obj_id], rot[i], cm[i])
+            out = mesh.copy()
+            out.vertices = verts
+            exporters.write_obj(
+                os.path.join(self.output_dir, f"obj_{obj_id}_{k:06}.obj"),
+                out)
+
+    # ------------------------------------------------------------------
+    def save(self, path):
+        save_checkpoint(path, self.state)
+
+    def resume(self, path):
+        self.state = load_checkpoint(path, self.state)

@@ -108,6 +108,9 @@ class SimParams:
     # tunables (framework-specific; not in reference)
     neighbor_cap: int = 64        # K: max stored neighbors per particle
     cell_cap: int = 32            # M: max particles fetched per grid cell
+    backend: str = "auto"         # pair engine: "auto" | "gather" | "pallas"
+    window_cap: int = 64          # pallas: lanes per 3-cell z-window
+    row_cap: int = 768            # pallas: max particles per grid row
     # fixed reference constants
     viscosity: float = 0.01       # sph_base.py:15
     surface_tension: float = 0.01 # WCSPH.py:15 / DFSPH.py:9

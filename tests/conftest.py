@@ -8,7 +8,11 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize force-registers the TPU platform whenever
+# PALLAS_AXON_POOL_IPS is set; clearing it is the only reliable way to get
+# a real CPU backend.  (JAX_PLATFORMS=cpu alone is overridden.)
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

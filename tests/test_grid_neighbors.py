@@ -55,11 +55,14 @@ def test_sort_matches_stable_argsort(rng):
         pressure=jnp.zeros(256), material=material,
         is_dynamic=jnp.ones(256, jnp.int32),
         color=jnp.zeros((256, 3), jnp.int32))
-    sp, sids, perm = sort_by_cell(dummy, ids)
+    sp, sids = sort_by_cell(dummy, ids)
     ref_perm = np.argsort(np.asarray(ids), kind="stable")
-    np.testing.assert_array_equal(np.asarray(perm), ref_perm)
+    # object_id was iota, so the sorted object_id IS the permutation
+    np.testing.assert_array_equal(np.asarray(sp.object_id), ref_perm)
     np.testing.assert_array_equal(np.asarray(sids),
                                   np.asarray(ids)[ref_perm])
+    np.testing.assert_allclose(np.asarray(sp.x),
+                               np.asarray(x)[ref_perm])
     # padding sorts to the tail (overflow cell)
     assert np.all(np.asarray(sp.material)[200:] == MATERIAL_PAD)
 
