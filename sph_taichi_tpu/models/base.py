@@ -24,6 +24,8 @@ side (the neighbor relation is symmetric), so the whole step is
 deterministic.
 """
 
+from typing import Any, Callable, NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +37,31 @@ from sph_taichi_tpu.ops.grid import (
     compute_cell_ids, sort_by_cell, cell_offsets, max_cell_occupancy)
 from sph_taichi_tpu.ops.linalg import polar_rotation
 from sph_taichi_tpu.ops.pairs import make_engine, vdot, vscale
+
+
+# ---------------------------------------------------------------------------
+# step context: engine ctx + optional sharded ghost synchronization
+# ---------------------------------------------------------------------------
+
+class StepCtx(NamedTuple):
+    """What a traversal needs: the engine's per-step context, plus (for
+    spatially sharded runs) a callback that refreshes ghost particles'
+    derived fields from their owning devices (parallel/sharding.py).
+    Single-device runs pass the bare engine ctx; ghost_sync is a no-op."""
+    engine_ctx: Any
+    ghost_sync: Optional[Callable] = None
+
+
+def ectx(ctx):
+    return ctx.engine_ctx if isinstance(ctx, StepCtx) else ctx
+
+
+def sync_fields(ctx, p: Particles, names):
+    """After center-side fields are recomputed, push owned boundary-layer
+    values into the neighbors' ghost copies (sharded runs only)."""
+    if isinstance(ctx, StepCtx) and ctx.ghost_sync is not None:
+        return ctx.ghost_sync(p, tuple(names))
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -69,12 +96,13 @@ def _boundary_volume(p: Particles, ctx, engine, params: SimParams,
         w = cubic_kernel(rn, h, params.dim)
         return {"delta": jnp.where(fj["material"] == MATERIAL_SOLID, w, 0.0)}
 
-    out = engine.traverse(ctx, p.x, {"material": p.material}, term,
+    out = engine.traverse(ectx(ctx), p.x, {"material": p.material}, term,
                           {"delta": "scalar"})
     delta = cubic_kernel(jnp.zeros((), p.x.dtype), h, params.dim) \
         + out["delta"]
     m_v = 3.0 / delta
-    return p._replace(m_V=jnp.where(target_mask, m_v, p.m_V))
+    p = p._replace(m_V=jnp.where(target_mask, m_v, p.m_V))
+    return sync_fields(ctx, p, ["m_V"])
 
 
 def compute_static_boundary_volume(p, ctx, engine, params):
@@ -118,29 +146,43 @@ def enforce_boundary(p: Particles, params: SimParams, particle_type):
 # shape-matching rigid solve (sph_base.py:182-260)
 # ---------------------------------------------------------------------------
 
-def compute_com(p: Particles, object_id):
+def _allsum(x, axis_name=""):
+    """Sum over the particle axis, then across the device mesh if sharded."""
+    s = jnp.sum(x, axis=0)
+    if axis_name:
+        s = jax.lax.psum(s, axis_name)
+    return s
+
+
+def compute_com(p: Particles, object_id, axis_name=""):
     """Mass-weighted COM over this object's dynamic rigid particles.
 
     Mass = m_V0 * density (NOT the Akinci m_V) — sph_base.py:188.
     m_V0*density is exactly the stored p.m, assigned at creation.
+    Ghost copies (sharded runs) must be excluded by the caller having
+    marked them non-dynamic or by identical replication—in our sharding,
+    ghosts are counted once because psum sums owned copies only when the
+    caller pre-masks; see parallel/sharding.py.
     """
     mask = p.is_dynamic_rigid() & (p.object_id == object_id)
     w = jnp.where(mask, p.m, 0.0)
-    sum_m = jnp.sum(w)
-    cm = jnp.sum(w[:, None] * p.x, axis=0) / sum_m
+    sum_m = _allsum(w, axis_name)
+    cm = _allsum(w[:, None] * p.x, axis_name) / sum_m
     return cm
 
 
-def solve_constraints(p: Particles, rest_cm, object_id):
+def solve_constraints(p: Particles, rest_cm, object_id, axis_name=""):
     """One shape-matching projection for one object (sph_base.py:200-222)."""
     mask = p.is_dynamic_rigid() & (p.object_id == object_id)
     w = jnp.where(mask, p.m, 0.0)
-    sum_m = jnp.sum(w)
-    cm = jnp.sum(w[:, None] * p.x, axis=0) / sum_m
+    sum_m = _allsum(w, axis_name)
+    cm = _allsum(w[:, None] * p.x, axis_name) / sum_m
     q = p.x0 - rest_cm[None, :]
     pv = p.x - cm[None, :]
     # A = sum m * p ⊗ q  (outer_product(p, q), sph_base.py:210)
     a = jnp.einsum("n,ni,nj->ij", w, pv, q)
+    if axis_name:
+        a = jax.lax.psum(a, axis_name)
     r = polar_rotation(a)
     goal = cm[None, :] + q @ r.T
     x_new = jnp.where(mask[:, None], goal, p.x)  # stiffness 1.0
@@ -155,7 +197,7 @@ def compute_rigid_rest_cm(p: Particles, params: SimParams):
     cms = []
     for obj in range(n_obj):
         if obj in params.dynamic_rigid_ids:
-            cms.append(compute_com(p, obj))
+            cms.append(compute_com(p, obj, params.axis_name))
         else:
             cms.append(jnp.zeros((params.dim,), p.x.dtype))
     return jnp.stack(cms, axis=0)
@@ -167,7 +209,7 @@ def solve_rigid_body(p: Particles, rest_cm, params: SimParams):
     enforcement runs once after EVERY dynamic object's projection."""
     rots, cms = [], []
     for obj in params.dynamic_rigid_ids:
-        p, r, cm = solve_constraints(p, rest_cm[obj], obj)
+        p, r, cm = solve_constraints(p, rest_cm[obj], obj, params.axis_name)
         p = enforce_boundary(p, params, MATERIAL_SOLID)
         rots.append(r)
         cms.append(cm)
@@ -269,13 +311,14 @@ def compute_densities(p: Particles, ctx, engine, params: SimParams):
         w = cubic_kernel(rn, h, params.dim)
         return {"den": jnp.where(fj["material"] >= 0, fj["m_V"] * w, 0.0)}
 
-    out = engine.traverse(ctx, p.x,
+    out = engine.traverse(ectx(ctx), p.x,
                           {"material": p.material, "m_V": p.m_V},
                           term, {"den": "scalar"})
     den = p.m_V * cubic_kernel(jnp.zeros((), p.x.dtype), h, params.dim) \
         + out["den"]
     density = den * params.density0
-    return p._replace(density=jnp.where(p.is_fluid(), density, p.density))
+    p = p._replace(density=jnp.where(p.is_fluid(), density, p.density))
+    return sync_fields(ctx, p, ["density"])
 
 
 def compute_non_pressure_forces(p: Particles, ctx, engine,
@@ -320,7 +363,7 @@ def compute_non_pressure_forces(p: Particles, ctx, engine,
         return {"a": vscale(coef, rvec)}
 
     out = engine.traverse(
-        ctx, p.x,
+        ectx(ctx), p.x,
         {"material": p.material, "m": p.m, "density": p.density,
          "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
         term, {"a": "vec"})

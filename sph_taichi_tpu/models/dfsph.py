@@ -36,7 +36,8 @@ from sph_taichi_tpu.state import MATERIAL_FLUID, MATERIAL_SOLID, Particles
 from sph_taichi_tpu.ops.kernels import cubic_kernel_derivative_scalar
 from sph_taichi_tpu.ops.pairs import vdot, vscale
 from sph_taichi_tpu.models.base import (
-    SPHBase, compute_densities, compute_non_pressure_forces)
+    SPHBase, compute_densities, compute_non_pressure_forces, ectx,
+    sync_fields)
 
 
 class DFSPHSolver(SPHBase):
@@ -70,7 +71,7 @@ class DFSPHSolver(SPHBase):
             return {"grad": gi, "sq": sq}
 
         out = self.engine.traverse(
-            ctx, p.x, {"material": p.material, "m_V": p.m_V},
+            ectx(ctx), p.x, {"material": p.material, "m_V": p.m_V},
             term, {"grad": "vec", "sq": "scalar"})
         gx, gy, gz = out["grad"]
         sum_grad_p_k = out["sq"] + gx * gx + gy * gy + gz * gz
@@ -93,7 +94,7 @@ class DFSPHSolver(SPHBase):
             return {"div": div, "cnt": jnp.where(real, 1.0, 0.0)}
 
         out = self.engine.traverse(
-            ctx, p.x,
+            ectx(ctx), p.x,
             {"material": p.material, "m_V": p.m_V,
              "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]},
             term, {"div": "scalar", "cnt": "scalar"})
@@ -118,7 +119,7 @@ class DFSPHSolver(SPHBase):
                                      0.0)}
 
         out = self.engine.traverse(
-            ctx, p.x,
+            ectx(ctx), p.x,
             {"material": p.material, "m_V": p.m_V,
              "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]},
             term, {"div": "scalar"})
@@ -129,8 +130,11 @@ class DFSPHSolver(SPHBase):
     def _avg_density_error(self, p: Particles, adv, offset):
         """sum over fluid of (rho0*adv - offset) / n_fluid
         (DFSPH.py:221-227 + :274,:350)."""
-        err = jnp.sum(jnp.where(p.is_fluid(),
+        center = p.is_fluid() & (p.is_dynamic != 0)  # excludes ghost copies
+        err = jnp.sum(jnp.where(center,
                                 self.density_0 * adv - offset, 0.0))
+        if self.params.axis_name:
+            err = jax.lax.psum(err, self.params.axis_name)
         return err / self.params.n_fluid
 
     # ------------------------------------------------------------------
@@ -174,7 +178,7 @@ class DFSPHSolver(SPHBase):
         if with_reaction:
             fields["density"] = p.density
             specs["react"] = "vec"
-        out = self.engine.traverse(ctx, p.x, fields, term, specs)
+        out = self.engine.traverse(ectx(ctx), p.x, fields, term, specs)
         dv = jnp.stack(out["dv"], axis=1)
         react = jnp.stack(out["react"], axis=1) if with_reaction else None
         return dv, react
@@ -184,7 +188,7 @@ class DFSPHSolver(SPHBase):
         """DFSPH.py:236-311 as a lax.while_loop."""
         factor = p.dfsph_factor / dt   # multiply_time_step(inv_dt)
         eta = (1.0 / dt) * self.max_error_V * 0.01 * self.density_0
-        adv0 = self._density_change(p, ctx, p.v)
+        adv0 = self._sync_arr(ctx, p, self._density_change(p, ctx, p.v))
         is_fluid_c = p.is_fluid()
 
         def body(carry):
@@ -192,7 +196,8 @@ class DFSPHSolver(SPHBase):
             kappa = adv * factor
             dv, _ = self._solver_dv(p, ctx, kappa, False, dt)
             v = jnp.where(is_fluid_c[:, None], v + dv, v)
-            adv = self._density_change(p, ctx, v)
+            v = self._sync_vec(ctx, p, v)
+            adv = self._sync_arr(ctx, p, self._density_change(p, ctx, v))
             err = self._avg_density_error(p, adv, 0.0)
             return v, adv, err, it + 1
 
@@ -213,7 +218,8 @@ class DFSPHSolver(SPHBase):
         params = self.params
         factor = p.dfsph_factor / (dt * dt)
         eta = self.max_error * 0.01 * self.density_0
-        adv0 = self._density_adv(p, ctx, p.v, p.density, dt)
+        adv0 = self._sync_arr(ctx, p, self._density_adv(p, ctx, p.v,
+                                                        p.density, dt))
         is_fluid_c = p.is_fluid()
         is_dyn_rigid_c = p.is_dynamic_rigid()
         has_dyn_rigid = bool(params.dynamic_rigid_ids)
@@ -223,9 +229,11 @@ class DFSPHSolver(SPHBase):
             kappa = (adv - 1.0) * factor
             dv, react = self._solver_dv(p, ctx, kappa, has_dyn_rigid, dt)
             v = jnp.where(is_fluid_c[:, None], v + dv, v)
+            v = self._sync_vec(ctx, p, v)
             if has_dyn_rigid:
                 acc = jnp.where(is_dyn_rigid_c[:, None], acc + react, acc)
-            adv = self._density_adv(p, ctx, v, p.density, dt)
+            adv = self._sync_arr(ctx, p, self._density_adv(p, ctx, v,
+                                                           p.density, dt))
             err = self._avg_density_error(p, adv, self.density_0)
             return v, acc, adv, err, it + 1
 
@@ -254,15 +262,27 @@ class DFSPHSolver(SPHBase):
         return p._replace(v=v, x=x)
 
     # ------------------------------------------------------------------
+    def _sync_arr(self, ctx, p, arr):
+        """Ghost-refresh a scalar per-particle array (sharded runs)."""
+        q = sync_fields(ctx, p._replace(pressure=arr), ["pressure"])
+        return q.pressure
+
+    def _sync_vec(self, ctx, p, vec):
+        """Ghost-refresh a (N,3) per-particle array (sharded runs)."""
+        q = sync_fields(ctx, p._replace(v=vec), ["v"])
+        return q.v
+
     def substep(self, p: Particles, ctx, dt):
         p = compute_densities(p, ctx, self.engine, self.params)
         p = p._replace(dfsph_factor=self.compute_factor(p, ctx))
+        p = sync_fields(ctx, p, ["dfsph_factor"])
         metrics = {}
         if self.enable_divergence_solver:
             p, m = self.divergence_solve(p, ctx, dt)
             metrics.update(m)
         p = compute_non_pressure_forces(p, ctx, self.engine, self.params, self.g)
         p = self.predict_velocity(p, dt)
+        p = sync_fields(ctx, p, ["v"])  # ghosts need the non-pressure kick
         p, m = self.pressure_solve(p, ctx, dt)
         metrics.update(m)
         p = self.advect(p, dt)

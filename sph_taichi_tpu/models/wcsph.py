@@ -23,7 +23,8 @@ from sph_taichi_tpu.state import MATERIAL_FLUID, MATERIAL_SOLID, Particles
 from sph_taichi_tpu.ops.kernels import cubic_kernel_derivative_scalar
 from sph_taichi_tpu.ops.pairs import vscale
 from sph_taichi_tpu.models.base import (
-    SPHBase, compute_densities, compute_non_pressure_forces)
+    SPHBase, compute_densities, compute_non_pressure_forces, ectx,
+    sync_fields)
 
 
 class WCSPHSolver(SPHBase):
@@ -54,6 +55,8 @@ class WCSPHSolver(SPHBase):
             self.stiffness * (jnp.power(density / rho0, self.exponent) - 1.0),
             p.pressure)
         p = p._replace(density=density, pressure=pressure)
+        # no ghost hop needed here: ghost centers run the same elementwise
+        # clamp+EOS on their already-synced density
 
         def term(fi, fj, rvec, rn):
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
@@ -82,7 +85,7 @@ class WCSPHSolver(SPHBase):
             return {"dv": vscale(coef, rvec), "react": vscale(react_coef, rvec)}
 
         out = self.engine.traverse(
-            ctx, p.x,
+            ectx(ctx), p.x,
             {"material": p.material, "m_V": p.m_V, "density": p.density,
              "pressure": p.pressure},
             term, {"dv": "vec", "react": "vec"})

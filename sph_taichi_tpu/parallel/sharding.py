@@ -1,0 +1,433 @@
+"""Spatial slab decomposition across a device mesh (SURVEY §2.4 plan).
+
+The problem-size axis of SPH is particle count / spatial extent, so the
+sequence-parallel analog here is domain decomposition: a 1D
+``jax.sharding.Mesh`` over the grid's x-layers.  Device d owns layers
+``[d*nxd, (d+1)*nxd)``; every step, inside one ``shard_map``:
+
+1. **Migration** — particles that crossed a slab boundary ride a
+   fixed-capacity block ``lax.ppermute`` to the neighbor (at most one
+   slab per step: a particle moves |v|*dt << one cell per step).
+2. **Halo exchange** — after a local sort, each device ships its first /
+   last owned x-layer (one layer == the support radius, since cell size ==
+   support radius) to its neighbors as *ghost* particles: the ring
+   collective of sequence parallelism, here carrying boundary cells.
+3. **Local traversal** — pair sums run on the device-local extended grid
+   (nxd + 2 layers) with the same engines and term functions as the
+   single-chip path; ghosts are candidates, never centers.
+4. **Global physics** — DFSPH convergence errors and rigid-body COM /
+   moment sums cross the mesh with ``lax.psum`` (rigid bodies may span
+   slabs); ghosts carry a flag so they are never double-counted.
+
+Everything is fixed-capacity (XLA static shapes): per-device particle
+slots, migration block, halo block — overflow is surfaced in metrics.
+Known approximation: ghost copies of *moving* rigid particles see the
+previous step's Akinci volume (one-hop staleness at slab boundaries);
+static boundaries and fluid are exact.
+
+Validated against the single-device solver on a virtual CPU mesh
+(tests/test_sharding.py); the same code path targets ICI on a real pod.
+"""
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from sph_taichi_tpu.state import (
+    MATERIAL_PAD, MATERIAL_FLUID, Particles, SimParams, SimState)
+from sph_taichi_tpu.ops.grid import cell_offsets
+from sph_taichi_tpu.models import base as mbase
+from sph_taichi_tpu.models.base import StepCtx
+import sph_taichi_tpu as pkg
+
+AXIS = "shard"
+_BASE_COLS = 22
+
+# Particles field -> column getter/setter pairs used by the ghost sync
+_FIELD_COLS = {
+    "density": 1, "pressure": 1, "m_V": 1, "v": 3,
+    "dfsph_factor": 1, "density_adv": 1,
+}
+
+
+def _pack_np(p, with_dfsph):
+    cols = [p.object_id, p.x[:, 0], p.x[:, 1], p.x[:, 2],
+            p.x0[:, 0], p.x0[:, 1], p.x0[:, 2],
+            p.v[:, 0], p.v[:, 1], p.v[:, 2],
+            p.acc[:, 0], p.acc[:, 1], p.acc[:, 2],
+            p.m_V, p.m, p.density, p.pressure,
+            p.material, p.is_dynamic,
+            p.color[:, 0], p.color[:, 1], p.color[:, 2]]
+    if with_dfsph:
+        cols += [p.dfsph_factor, p.density_adv]
+    return np.stack([np.asarray(c, np.float32) for c in cols], axis=1)
+
+
+def _pack(p: Particles):
+    """Particles -> one (N, F) f32 matrix (ints are exactly representable)."""
+    cols = [p.object_id, p.x[:, 0], p.x[:, 1], p.x[:, 2],
+            p.x0[:, 0], p.x0[:, 1], p.x0[:, 2],
+            p.v[:, 0], p.v[:, 1], p.v[:, 2],
+            p.acc[:, 0], p.acc[:, 1], p.acc[:, 2],
+            p.m_V, p.m, p.density, p.pressure,
+            p.material, p.is_dynamic,
+            p.color[:, 0], p.color[:, 1], p.color[:, 2]]
+    if p.dfsph_factor is not None:
+        cols += [p.dfsph_factor, p.density_adv]
+    return jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
+
+
+def _unpack(m, with_dfsph):
+    i = lambda c: jnp.round(m[:, c]).astype(jnp.int32)
+    f = lambda c: m[:, c]
+    v = lambda c: jnp.stack([m[:, c], m[:, c + 1], m[:, c + 2]], axis=1)
+    return Particles(
+        object_id=i(0), x=v(1), x0=v(4), v=v(7), acc=v(10),
+        m_V=f(13), m=f(14), density=f(15), pressure=f(16),
+        material=i(17), is_dynamic=i(18),
+        color=jnp.stack([i(19), i(20), i(21)], axis=1),
+        dfsph_factor=f(22) if with_dfsph else None,
+        density_adv=f(23) if with_dfsph else None)
+
+
+def _pad_template(n, f):
+    """Pad-particle rows: material=-1, parked far away."""
+    t = np.zeros((n, f), np.float32)
+    t[:, 1:7] = 1e9
+    t[:, 17] = -1.0
+    return jnp.asarray(t)
+
+
+def _sort_mat(key, mat):
+    """Sort (key, every column of mat) with one multi-operand lax.sort."""
+    ops = (key,) + tuple(mat[:, c] for c in range(mat.shape[1]))
+    out = jax.lax.sort(ops, dimension=0, is_stable=True, num_keys=1)
+    return out[0], jnp.stack(out[1:], axis=1)
+
+
+class ShardedSolver:
+    """Spatially-sharded solver with the same step contract per call.
+
+    The sharded SimState holds D * n_ext particle slots (n_ext =
+    per-device capacity including ghost and migration slack), sharded
+    along the particle axis so each device owns one contiguous segment.
+    """
+
+    def __init__(self, params: SimParams, mesh=None, n_devices=None,
+                 mig_cap=2048, halo_cap=8192, loc_cap=None):
+        if mesh is None:
+            devs = np.array(jax.devices()[:n_devices or len(jax.devices())])
+            mesh = Mesh(devs, axis_names=(AXIS,))
+        self.mesh = mesh
+        self.n_dev = int(mesh.devices.size)
+        d = self.n_dev
+
+        nx, ny, nz = params.grid_num
+        self.nxd = -(-nx // d)
+        self.layer_cells = ny * nz
+        self.mig_cap = int(mig_cap)
+        self.halo_cap = int(halo_cap)
+        self.ghost_slots = 2 * self.halo_cap
+
+        # per-device owned capacity: even distribution by default; pass
+        # loc_cap for scenes concentrated in few slabs
+        owned = int(loc_cap or -(-params.n_pad // d))
+        n_loc = owned + self.ghost_slots + 2 * self.mig_cap
+        n_loc = -(-n_loc // 256) * 256
+        self.n_ext = n_loc
+        self.n_global = d * n_loc
+
+        self.params = params
+        self.local_params = dataclasses.replace(
+            params,
+            grid_num_override=(self.nxd + 2, ny, nz),
+            axis_name=AXIS,
+            n_pad=self.n_ext)
+        self.solver = pkg.build_solver(self.local_params)
+        self.with_dfsph = params.simulation_method in (2, 4)
+        self.f_cols = _BASE_COLS + (2 if self.with_dfsph else 0)
+
+    # ------------------------------------------------------------------
+    def initialize(self, particles: Particles) -> SimState:
+        """Single-device initialize, host-side repack into slab segments,
+        then place onto the mesh."""
+        single = pkg.build_solver(self.params)
+        state = single.initialize(particles)
+        p = jax.tree_util.tree_map(np.asarray, state.p)
+        mat = _pack_np(p, self.with_dfsph)
+
+        ix = (p.x[:, 0] / self.params.grid_size).astype(np.int32)
+        owner = np.clip(ix // self.nxd, 0, self.n_dev - 1)
+        owner[p.material == MATERIAL_PAD] = -1
+
+        segs = []
+        pad_row = np.asarray(_pad_template(1, self.f_cols))[0]
+        for dev in range(self.n_dev):
+            rows = mat[owner == dev]
+            assert rows.shape[0] <= self.n_ext - self.ghost_slots \
+                - 2 * self.mig_cap, (
+                f"device {dev} owns {rows.shape[0]} > capacity")
+            seg = np.tile(pad_row, (self.n_ext, 1))
+            seg[: rows.shape[0]] = rows
+            segs.append(seg)
+        gmat = jnp.asarray(np.concatenate(segs, axis=0))
+        gp = _unpack(gmat, self.with_dfsph)
+        gstate = SimState(p=gp, rigid_rest_cm=state.rigid_rest_cm,
+                          dt=state.dt, t=state.t,
+                          step_count=state.step_count)
+        return self._place(gstate)
+
+    def _place(self, state):
+        def spec_for(a):
+            if hasattr(a, "ndim") and a.ndim >= 1 \
+                    and a.shape[0] == self.n_global:
+                return NamedSharding(self.mesh,
+                                     P(AXIS, *([None] * (a.ndim - 1))))
+            return NamedSharding(self.mesh, P())
+        return jax.device_put(
+            state, jax.tree_util.tree_map(spec_for, state))
+
+    # ------------------------------------------------------------------
+    def _ext_cell_ids(self, x, material, rank):
+        """Flat cell id on the device-local extended grid; anything outside
+        the extended slab (or padding) -> overflow cell."""
+        gs = self.params.grid_size
+        ny, nz = self.params.grid_num[1], self.params.grid_num[2]
+        cell = (x / gs).astype(jnp.int32)
+        gix = cell[:, 0] - rank * self.nxd + 1
+        giy = jnp.clip(cell[:, 1], 0, ny - 1)
+        giz = jnp.clip(cell[:, 2], 0, nz - 1)
+        inside = (gix >= 0) & (gix < self.nxd + 2)
+        flat = gix * (ny * nz) + giy * nz + giz
+        num_cells = (self.nxd + 2) * ny * nz
+        return jnp.where(inside & (material != MATERIAL_PAD),
+                         flat, num_cells)
+
+    def _owner(self, x):
+        ix = (x[:, 0] / self.params.grid_size).astype(jnp.int32)
+        return jnp.clip(ix // self.nxd, 0, self.n_dev - 1)
+
+    def _exchange(self, mat, start, cap, row_ok, direction):
+        """Slice `cap` rows at dynamic `start`, blank rows where not ok,
+        ppermute one hop in `direction` (+1 = to the right neighbor)."""
+        n, f = mat.shape
+        start = jnp.clip(start, 0, n - cap)
+        block = jax.lax.dynamic_slice(mat, (start, 0), (cap, f))
+        ok = jax.lax.dynamic_slice(row_ok, (start,), (cap,))
+        block = jnp.where(ok[:, None], block, _pad_template(cap, f))
+        perm = [(i, (i + direction) % self.n_dev)
+                for i in range(self.n_dev)]
+        return jax.lax.ppermute(block, AXIS, perm)
+
+    # ------------------------------------------------------------------
+    def _make_ghost_sync(self, starts, n):
+        """Refresh ghost copies of recomputed per-particle fields.
+
+        Row correspondence: both the step-start halo exchange and this
+        refresh slice the owner's boundary layer at its (stable-sorted)
+        layer offset, so row t of the incoming block is exactly ghost slot
+        region_start + t on the receiver (same multiset, same intra-layer
+        cell order, same truncation at halo_cap)."""
+        lc = self.layer_cells
+        cap = self.halo_cap
+        g_l = starts[lc]
+        rg_start = starts[(self.nxd + 1) * lc]
+        g_r = starts[(self.nxd + 2) * lc] - rg_start
+        first_lo = starts[lc]
+        last_lo = starts[self.nxd * lc]
+        iota_cap = jnp.arange(cap)
+
+        def hop(mat_cols, src_lo, direction):
+            blk = jax.lax.dynamic_slice(
+                mat_cols, (src_lo, 0), (cap, mat_cols.shape[1]))
+            perm = [(i, (i + direction) % self.n_dev)
+                    for i in range(self.n_dev)]
+            return jax.lax.ppermute(blk, AXIS, perm)
+
+        def merge(mat_cols, blk, dst_lo, g_cnt):
+            cur = jax.lax.dynamic_slice(
+                mat_cols, (dst_lo, 0), (cap, mat_cols.shape[1]))
+            new = jnp.where((iota_cap < g_cnt)[:, None], blk, cur)
+            return jax.lax.dynamic_update_slice(mat_cols, new, (dst_lo, 0))
+
+        def sync(p: Particles, names):
+            cols = []
+            layout = []
+            for name in names:
+                a = getattr(p, name)
+                if a.ndim == 1:
+                    cols.append(a)
+                    layout.append((name, 1))
+                else:
+                    for d in range(a.shape[1]):
+                        cols.append(a[:, d])
+                    layout.append((name, a.shape[1]))
+            mat = jnp.stack(cols, axis=1)
+            # owners' last layer -> my left ghosts (region [0, g_l))
+            mat = merge(mat, hop(mat, last_lo, +1), 0, g_l)
+            # owners' first layer -> my right ghosts (region [rg_start, ...))
+            mat = merge(mat, hop(mat, first_lo, -1), rg_start, g_r)
+            out = {}
+            pos = 0
+            for name, ncomp in layout:
+                if ncomp == 1:
+                    out[name] = mat[:, pos]
+                else:
+                    out[name] = jnp.stack(
+                        [mat[:, pos + d] for d in range(ncomp)], axis=1)
+                pos += ncomp
+            return p._replace(**out)
+
+        return sync
+
+    # ------------------------------------------------------------------
+    def _sharded_step(self, state: SimState):
+        lp = self.local_params
+        params = self.params
+        rank = jax.lax.axis_index(AXIS)
+        mat = _pack(state.p)
+        n, f = mat.shape
+        lc = self.layer_cells
+        num_cells_ext = (self.nxd + 2) * lc
+        iota = jnp.arange(n)
+
+        # ---- 1. drop last step's ghosts (tagged is_dynamic = -1) ----
+        ghost = mat[:, 18] < -0.5
+        mat = jnp.where(ghost[:, None], _pad_template(n, f), mat)
+
+        # ---- 2. classify + sort: mine-by-cell | leaving-left | -right | pad
+        x = jnp.stack([mat[:, 1], mat[:, 2], mat[:, 3]], axis=1)
+        material = jnp.round(mat[:, 17]).astype(jnp.int32)
+        owner = self._owner(x)
+        ids = self._ext_cell_ids(x, material, rank)
+        is_pad = material == MATERIAL_PAD
+        key_l, key_r = num_cells_ext + 1, num_cells_ext + 2
+        key = jnp.where(is_pad, num_cells_ext + 3,
+                        jnp.where(owner < rank, key_l,
+                                  jnp.where(owner > rank, key_r, ids)))
+        key, mat = _sort_mat(key, mat)
+        n_mine = jnp.sum((key < key_l).astype(jnp.int32))
+        n_left = jnp.sum((key == key_l).astype(jnp.int32))
+        n_right = jnp.sum((key == key_r).astype(jnp.int32))
+
+        # ---- 3. migration ppermutes ----
+        from_right = self._exchange(mat, n_mine, self.mig_cap,
+                                    key == key_l, -1)
+        from_left = self._exchange(mat, n_mine + n_left, self.mig_cap,
+                                   key == key_r, +1)
+        mat = jnp.where(((key == key_l) | (key == key_r))[:, None],
+                        _pad_template(n, f), mat)
+        mat = jax.lax.dynamic_update_slice(
+            mat, from_right, (n - 2 * self.mig_cap, 0))
+        mat = jax.lax.dynamic_update_slice(
+            mat, from_left, (n - self.mig_cap, 0))
+        # drop wraparound arrivals (non-periodic domain)
+        xm = jnp.stack([mat[:, 1], mat[:, 2], mat[:, 3]], axis=1)
+        matm = jnp.round(mat[:, 17]).astype(jnp.int32)
+        keep = (self._owner(xm) == rank) | (matm == MATERIAL_PAD)
+        mat = jnp.where(keep[:, None], mat, _pad_template(n, f))
+
+        # ---- 4. sort owned, extract halo layers ----
+        xm = jnp.stack([mat[:, 1], mat[:, 2], mat[:, 3]], axis=1)
+        matm = jnp.round(mat[:, 17]).astype(jnp.int32)
+        ids = self._ext_cell_ids(xm, matm, rank)
+        ids, mat = _sort_mat(ids, mat)
+        starts = cell_offsets(ids, num_cells_ext)
+        first_lo, first_hi = starts[1 * lc], starts[2 * lc]
+        last_lo, last_hi = starts[self.nxd * lc], starts[(self.nxd + 1) * lc]
+        in_first = (iota >= first_lo) & (iota < first_hi)
+        in_last = (iota >= last_lo) & (iota < last_hi)
+        ghosts_l = self._exchange(mat, last_lo, self.halo_cap, in_last, +1)
+        ghosts_r = self._exchange(mat, first_lo, self.halo_cap, in_first, -1)
+        ghosts = jnp.concatenate([ghosts_l, ghosts_r], axis=0)
+        gm = jnp.round(ghosts[:, 17]).astype(jnp.int32)
+        gx = jnp.stack([ghosts[:, 1], ghosts[:, 2], ghosts[:, 3]], axis=1)
+        gid = self._ext_cell_ids(gx, gm, rank)
+        g_ok = (gid < num_cells_ext) & ((gid < lc) | (gid >= (self.nxd + 1) * lc))
+        ghosts = jnp.where(g_ok[:, None], ghosts,
+                           _pad_template(2 * self.halo_cap, f))
+        ghosts = ghosts.at[:, 18].set(jnp.where(g_ok, -1.0, 0.0))
+        mat = jax.lax.dynamic_update_slice(
+            mat, ghosts, (n - self.ghost_slots, 0))
+
+        # ---- 5. final sort -> device-local traversal order ----
+        xm = jnp.stack([mat[:, 1], mat[:, 2], mat[:, 3]], axis=1)
+        matm = jnp.round(mat[:, 17]).astype(jnp.int32)
+        ids = self._ext_cell_ids(xm, matm, rank)
+        ids, mat = _sort_mat(ids, mat)
+        starts = cell_offsets(ids, num_cells_ext)
+        p = _unpack(mat, self.with_dfsph)
+        ghost_mask = p.is_dynamic < 0
+        p = p._replace(is_dynamic=jnp.where(ghost_mask, 0, p.is_dynamic))
+
+        engine_ctx = self.solver.engine.prepare(p.x, starts)
+        ctx = StepCtx(engine_ctx=engine_ctx,
+                      ghost_sync=self._make_ghost_sync(starts, n))
+
+        # ---- 6. physics (same pipeline as SPHBase.step_fn) ----
+        if params.n_solid > 0 and params.dynamic_rigid_ids:
+            p = mbase.compute_moving_boundary_volume(
+                p, ctx, self.solver.engine, lp)
+        p, sub_metrics = self.solver.substep(p, ctx, state.dt)
+        p, rigid_info = mbase.solve_rigid_body(p, state.rigid_rest_cm, lp)
+        p = mbase.enforce_boundary(p, lp, MATERIAL_FLUID)
+
+        p = p._replace(is_dynamic=jnp.where(ghost_mask, -1, p.is_dynamic))
+        new_state = state._replace(
+            p=p, t=state.t + state.dt, step_count=state.step_count + 1)
+
+        metrics = dict(sub_metrics)
+        metrics["rigid"] = rigid_info
+        metrics["owned_particles_max"] = jax.lax.pmax(n_mine, AXIS)
+        metrics["migration_overflow"] = jax.lax.pmax(
+            (jnp.maximum(n_left, n_right) > self.mig_cap).astype(jnp.int32),
+            AXIS)
+        metrics["halo_overflow"] = jax.lax.pmax(
+            (jnp.maximum(first_hi - first_lo, last_hi - last_lo)
+             > self.halo_cap).astype(jnp.int32), AXIS)
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def step(self, state: SimState):
+        if not hasattr(self, "_jitted"):
+            def spec_for(a):
+                if hasattr(a, "ndim") and a.ndim >= 1 \
+                        and a.shape[0] == self.n_global:
+                    return P(AXIS, *([None] * (a.ndim - 1)))
+                return P()
+
+            state_specs = jax.tree_util.tree_map(spec_for, state)
+            metric_specs = None  # inferred replicated via out_specs P()
+
+            sharded = shard_map(
+                self._sharded_step, mesh=self.mesh,
+                in_specs=(state_specs,),
+                out_specs=(state_specs,
+                           _metric_specs(self, state)),
+                check_rep=False)
+            self._jitted = jax.jit(sharded, donate_argnums=0)
+        return self._jitted(state)
+
+    def gather_particles(self, state) -> Particles:
+        """Host-side: collect owned (non-ghost, non-pad) particles."""
+        p = jax.tree_util.tree_map(np.asarray, state.p)
+        keep = (p.material != MATERIAL_PAD) & (p.is_dynamic >= 0)
+        return jax.tree_util.tree_map(lambda a: a[keep], p)
+
+
+def _metric_specs(self, state):
+    """Metrics are psum/pmax-reduced inside the step -> replicated."""
+    # structure must match the metrics dict returned by _sharded_step
+    n_rigid = len(self.params.dynamic_rigid_ids)
+    rigid = {"R": P(), "cm": P()}
+    base = {"rigid": rigid, "owned_particles_max": P(),
+            "migration_overflow": P(), "halo_overflow": P()}
+    if self.params.simulation_method == 4:
+        base.update({"divergence_iters": P(), "divergence_error": P(),
+                     "pressure_iters": P(), "pressure_error": P()})
+    return base

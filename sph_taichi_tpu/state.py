@@ -111,6 +111,9 @@ class SimParams:
     backend: str = "auto"         # pair engine: "auto" | "gather" | "pallas"
     window_cap: int = 64          # pallas: lanes per 3-cell z-window
     row_cap: int = 768            # pallas: max particles per grid row
+    # spatial sharding (parallel/sharding.py): local extended grid override
+    grid_num_override: tuple = ()
+    axis_name: str = ""           # mesh axis for cross-device reductions
     # fixed reference constants
     viscosity: float = 0.01       # sph_base.py:15
     surface_tension: float = 0.01 # WCSPH.py:15 / DFSPH.py:9
@@ -139,6 +142,8 @@ class SimParams:
 
     @property
     def grid_num(self):
+        if self.grid_num_override:
+            return self.grid_num_override
         return tuple(int(np.ceil(s / self.grid_size)) for s in self.domain_size)
 
     @property

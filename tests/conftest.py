@@ -8,15 +8,20 @@ Must run before jax is imported anywhere.
 
 import os
 
-# The axon sitecustomize force-registers the TPU platform whenever
-# PALLAS_AXON_POOL_IPS is set; clearing it is the only reliable way to get
-# a real CPU backend.  (JAX_PLATFORMS=cpu alone is overridden.)
+# The axon sitecustomize imports jax at interpreter start (before this
+# conftest), so env vars alone are snapshotted too late; use config.update
+# — backends are not initialized yet at collection time.
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
