@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from sph_taichi_tpu.state import MATERIAL_FLUID, MATERIAL_SOLID, Particles
-from sph_taichi_tpu.ops.kernels import cubic_kernel_derivative_scalar
+from sph_taichi_tpu.ops.kernels import (
+    cubic_kernel, cubic_kernel_derivative_scalar)
 from sph_taichi_tpu.ops.pairs import vdot, vscale
 from sph_taichi_tpu.models.base import (
     SPHBase, compute_densities, compute_non_pressure_forces, ectx,
@@ -51,6 +52,40 @@ class DFSPHSolver(SPHBase):
         super().__init__(params)
 
     # ------------------------------------------------------------------
+    def density_and_factor(self, p: Particles, ctx):
+        """Fused compute_densities (DFSPH.py:37-47) + compute_DFSPH_factor
+        (DFSPH.py:115-155): both only need pair geometry and m_V, so they
+        share one traversal on TPU."""
+        params = self.params
+        h = params.support_radius
+
+        def term(fi, fj, rvec, rn):
+            real = fj["material"] >= 0
+            w = cubic_kernel(rn, h, params.dim)
+            den = jnp.where(real, fj["m_V"] * w, 0.0)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gcoef = -fj["m_V"] * gradw_s
+            gi = vscale(jnp.where(real, -gcoef, 0.0), rvec)
+            sq = jnp.where(fj["material"] == MATERIAL_FLUID,
+                           gcoef * gcoef * (rn * rn), 0.0)
+            return {"den": den, "grad": gi, "sq": sq}
+
+        out = self.engine.traverse(
+            ectx(ctx), p.x, {"material": p.material, "m_V": p.m_V},
+            term, {"den": "scalar", "grad": "vec", "sq": "scalar"})
+
+        den = p.m_V * cubic_kernel(jnp.zeros((), p.x.dtype), h, params.dim) \
+            + out["den"]
+        density = jnp.where(p.is_fluid(), den * self.density_0, p.density)
+
+        gx, gy, gz = out["grad"]
+        sum_grad_p_k = out["sq"] + gx * gx + gy * gy + gz * gz
+        factor = jnp.where(sum_grad_p_k > 1e-6, -1.0 / sum_grad_p_k, 0.0)
+        factor = jnp.where(p.is_fluid(), factor, 0.0)
+
+        p = p._replace(density=density, dfsph_factor=factor)
+        return sync_fields(ctx, p, ["density", "dfsph_factor"])
+
     def compute_factor(self, p: Particles, ctx):
         """alpha_i = -1 / (|sum grad|^2 + sum |grad|^2) (DFSPH.py:115-155).
 
@@ -273,9 +308,7 @@ class DFSPHSolver(SPHBase):
         return q.v
 
     def substep(self, p: Particles, ctx, dt):
-        p = compute_densities(p, ctx, self.engine, self.params)
-        p = p._replace(dfsph_factor=self.compute_factor(p, ctx))
-        p = sync_fields(ctx, p, ["dfsph_factor"])
+        p = self.density_and_factor(p, ctx)
         metrics = {}
         if self.enable_divergence_solver:
             p, m = self.divergence_solve(p, ctx, dt)

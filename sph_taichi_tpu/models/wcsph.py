@@ -1,8 +1,15 @@
 """Weakly-compressible SPH solver (TPU-native counterpart of WCSPH.py).
 
 Substep pipeline (WCSPH.py:152-156): densities -> non-pressure forces ->
-Tait-EOS pressure forces -> symplectic Euler advection, with every pair
-sum evaluated by the pluggable traversal engine.
+Tait-EOS pressure forces -> symplectic Euler advection.
+
+TPU structure: the density sum is one traversal; the non-pressure
+(surface tension + viscosity) and pressure force sums — separate kernels
+in the reference — read the same pair geometry and are FUSED into a
+single second traversal (the EOS between them is elementwise).  Exact
+parity is kept by passing both the unclamped density (viscosity reads it,
+WCSPH.py:114) and the clamped density (pressure reads it, WCSPH.py:75)
+as separate neighbor fields.
 
 Behavioral parity notes (quirks intentionally preserved):
 - density is clamped to >= rho0 *and stored* before the EOS (WCSPH.py:75);
@@ -13,18 +20,17 @@ Behavioral parity notes (quirks intentionally preserved):
 - two-way coupling: the reference's atomic scatter
   `acceleration[p_j] += -f_p * rho0 / rho_j` (WCSPH.py:67-68) is computed
   here from the rigid particle's side as a sum over its fluid
-  neighbors — same pair terms, deterministic summation.  Both the fluid
-  pressure acceleration and the rigid reaction come out of ONE traversal.
+  neighbors — same pair terms, deterministic summation.
 """
 
 import jax.numpy as jnp
 
 from sph_taichi_tpu.state import MATERIAL_FLUID, MATERIAL_SOLID, Particles
-from sph_taichi_tpu.ops.kernels import cubic_kernel_derivative_scalar
-from sph_taichi_tpu.ops.pairs import vscale
+from sph_taichi_tpu.ops.kernels import (
+    cubic_kernel, cubic_kernel_derivative_scalar)
+from sph_taichi_tpu.ops.pairs import vdot, vscale
 from sph_taichi_tpu.models.base import (
-    SPHBase, compute_densities, compute_non_pressure_forces, ectx,
-    sync_fields)
+    SPHBase, compute_densities, ectx, sync_fields)
 
 
 class WCSPHSolver(SPHBase):
@@ -34,20 +40,24 @@ class WCSPHSolver(SPHBase):
         super().__init__(params)
 
     def substep(self, p: Particles, ctx, dt):
-        params = self.params
-        p = compute_densities(p, ctx, self.engine, params)
-        p = compute_non_pressure_forces(p, ctx, self.engine, params, self.g)
-        p = self.compute_pressure_forces(p, ctx)
+        p = compute_densities(p, ctx, self.engine, self.params)
+        p = self.compute_forces(p, ctx)
         p = self.advect(p, dt)
         return p, {}
 
-    def compute_pressure_forces(self, p: Particles, ctx):
-        """WCSPH.py:46-85 + the rigid reaction of :67-68 in gather form."""
+    def compute_forces(self, p: Particles, ctx):
+        """Fused WCSPH.py:88-141 (non-pressure) + :46-85 (pressure) +
+        :67-68 (rigid reaction, gather form) in one traversal."""
         params = self.params
         h = params.support_radius
+        dim = params.dim
         rho0 = self.density_0
+        st = params.surface_tension
+        visc = params.viscosity
+        diameter = params.particle_diameter
 
         # -- density clamp + Tait EOS, fluid only (WCSPH.py:75-76) --
+        density_nc = p.density  # pre-clamp value: viscosity parity
         density = jnp.where(p.is_fluid(),
                             jnp.maximum(p.density, rho0), p.density)
         pressure = jnp.where(
@@ -55,47 +65,68 @@ class WCSPHSolver(SPHBase):
             self.stiffness * (jnp.power(density / rho0, self.exponent) - 1.0),
             p.pressure)
         p = p._replace(density=density, pressure=pressure)
-        # no ghost hop needed here: ghost centers run the same elementwise
-        # clamp+EOS on their already-synced density
+        # ghost copies (sharded runs) computed the same elementwise values
+        # from their synced density — no extra hop needed
 
         def term(fi, fj, rvec, rn):
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, dim)
             fluid_j = fj["material"] == MATERIAL_FLUID
             solid_j = fj["material"] == MATERIAL_SOLID
+            r2 = rn * rn
 
-            # fluid-centered pressure acceleration (WCSPH.py:47-66):
-            # gradW(x_i - x_j) = gradw_s * rvec
+            # surface tension (WCSPH.py:92-102)
+            w = cubic_kernel(rn, h, dim)
+            wd = cubic_kernel(jnp.asarray(diameter, rn.dtype), h, dim)
+            w_st = jnp.where(r2 > diameter * diameter, w, wd)
+            st_coef = jnp.where(fluid_j, -(st / fi["m"]) * fj["m"] * w_st,
+                                0.0)
+
+            # viscosity (WCSPH.py:105-116) — unclamped neighbor density
+            dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"],
+                  fi["v2"] - fj["v2"])
+            v_xy = vdot(dv, rvec)
+            d = 2.0 * (dim + 2.0)
+            visc_coef = jnp.where(
+                fluid_j,
+                d * visc * (fj["m"] / fj["density_nc"]) * v_xy
+                / (r2 + 0.01 * h * h) * gradw_s,
+                0.0)
+
+            # pressure (WCSPH.py:47-66) — clamped density + EOS pressure
             dpi = fi["pressure"] / (fi["density"] * fi["density"])
             dpj_fluid = fj["pressure"] / (fj["density"] * fj["density"])
             dpj_solid = fi["pressure"] / (rho0 * rho0)  # mirror p_j := p_i
             dpj = jnp.where(fluid_j, dpj_fluid, dpj_solid)
-            coef = jnp.where(fluid_j | solid_j,
-                             -rho0 * fj["m_V"] * (dpi + dpj) * gradw_s, 0.0)
+            press_coef = jnp.where(
+                fluid_j | solid_j,
+                -rho0 * fj["m_V"] * (dpi + dpj) * gradw_s, 0.0)
 
-            # reaction on dynamic-rigid centers (WCSPH.py:67-68 as gather):
-            # center c rigid, neighbor k fluid:
-            #   f_p(k,c) = -rho0*m_V_c*(p_k/rho_k^2 + p_k/rho0^2)*gradW(x_k-x_c)
-            #   acc_c += -f_p * rho0/rho_c,  gradW(x_k-x_c) = -gradw_s*rvec
+            # reaction on dynamic-rigid centers (WCSPH.py:67-68 as gather)
             dpi_k = fj["pressure"] / (fj["density"] * fj["density"]) \
                 + fj["pressure"] / (rho0 * rho0)
             react_coef = jnp.where(
                 fluid_j,
-                -(rho0 * fi["m_V"] * dpi_k) * (rho0 / fi["density"]) * gradw_s,
+                -(rho0 * fi["m_V"] * dpi_k) * (rho0 / fi["density"])
+                * gradw_s,
                 0.0)
-            return {"dv": vscale(coef, rvec), "react": vscale(react_coef, rvec)}
+            return {"a": vscale(st_coef + visc_coef + press_coef, rvec),
+                    "react": vscale(react_coef, rvec)}
 
         out = self.engine.traverse(
             ectx(ctx), p.x,
-            {"material": p.material, "m_V": p.m_V, "density": p.density,
-             "pressure": p.pressure},
-            term, {"dv": "vec", "react": "vec"})
-        dv = jnp.stack(out["dv"], axis=1)
+            {"material": p.material, "m": p.m, "m_V": p.m_V,
+             "density": p.density, "density_nc": density_nc,
+             "pressure": p.pressure,
+             "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
+            term, {"a": "vec", "react": "vec"})
+        a_pair = jnp.stack(out["a"], axis=1)
         a_react = jnp.stack(out["react"], axis=1)
 
-        is_dyn_rigid = p.is_dynamic_rigid()
-        acc = jnp.where(p.is_fluid()[:, None], p.acc + dv, p.acc)
-        acc = jnp.where(is_dyn_rigid[:, None], p.acc + a_react, acc)
-        acc = jnp.where(p.is_static_rigid()[:, None], 0.0, acc)  # WCSPH.py:78-79
+        acc = self.g[None, :] + jnp.where(p.is_fluid()[:, None], a_pair, 0.0)
+        acc = jnp.where(p.is_dynamic_rigid()[:, None],
+                        self.g[None, :] + a_react, acc)
+        acc = jnp.where(p.is_static_rigid()[:, None], 0.0, acc)
+        acc = jnp.where((p.material == -1)[:, None], 0.0, acc)
         return p._replace(acc=acc)
 
     def advect(self, p: Particles, dt):

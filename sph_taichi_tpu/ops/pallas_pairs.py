@@ -52,6 +52,7 @@ class RowCtx(NamedTuple):
     rows_compact: jnp.ndarray   # i32[n_rows] occupied row ids first
     n_occ: jnp.ndarray          # i32[] number of occupied rows
     z_table: jnp.ndarray        # i32[n_rows, 9, nz+1] window starts
+    z_bounds: jnp.ndarray       # i32[n_rows, 2] occupied z-cell range
     diag: dict
 
 
@@ -97,6 +98,17 @@ class PallasEngine:
                 z_rows.append(shifted)
         z_table = jnp.stack(z_rows, axis=1).astype(jnp.int32)  # (n_rows, 9, nz+1)
 
+        # occupied z-range of each (center) row: cells outside it have no
+        # centers, so the kernel's z sweep can skip them entirely
+        cnts = s_full[:, 1:] - s_full[:, :-1]          # (n_rows, nz)
+        occ_z = cnts > 0
+        any_z = jnp.any(occ_z, axis=1)
+        zmin = jnp.argmax(occ_z, axis=1).astype(jnp.int32)
+        zmax = (nz - 1 - jnp.argmax(occ_z[:, ::-1], axis=1)).astype(jnp.int32)
+        zmin = jnp.where(any_z, zmin, 0)
+        zmax = jnp.where(any_z, zmax + 1, 0)           # exclusive
+        z_bounds = jnp.stack([zmin, zmax], axis=1)     # (n_rows, 2)
+
         row_len = s_full[:, nz] - s_full[:, 0]
         occupied = row_len > 0
         # compaction via stable sort (no scatter): occupied rows first
@@ -118,7 +130,7 @@ class PallasEngine:
             "cell_overflow": jnp.max(cell_cnt) > CB * MAX_PASSES,
         }
         return RowCtx(rows_compact=rows_compact, n_occ=n_occ,
-                      z_table=z_table, diag=diag)
+                      z_table=z_table, z_bounds=z_bounds, diag=diag)
 
     # ------------------------------------------------------------------
     def traverse(self, ctx: RowCtx, x, fields: Dict[str, jnp.ndarray],
@@ -163,6 +175,9 @@ class PallasEngine:
                 pl.BlockSpec((1, 9, self.nz + 1),
                              lambda i, rows, nocc: (rows[i], 0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2),
+                             lambda i, rows, nocc: (rows[i], 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),   # lanes (HBM)
                 pl.BlockSpec(memory_space=pltpu.ANY),   # subs (HBM)
             ],
@@ -184,7 +199,7 @@ class PallasEngine:
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(ctx.rows_compact, jnp.full((1,), ctx.n_occ, jnp.int32),
-          ctx.z_table, lanes, subs)
+          ctx.z_table, ctx.z_bounds, lanes, subs)
 
         outs = {}
         pos = 0
@@ -197,7 +212,7 @@ class PallasEngine:
         return outs
 
     # ------------------------------------------------------------------
-    def _kernel(self, rows_ref, nocc_ref, z_ref, lanes_hbm, subs_hbm,
+    def _kernel(self, rows_ref, nocc_ref, z_ref, zb_ref, lanes_hbm, subs_hbm,
                 out_hbm, win_scr, cen_scr, out_scr, cand_scr,
                 sems, *, term_fn, name_to_idx, out_cols, f_pad, n_out_pad, n,
                 r_max):
@@ -272,7 +287,7 @@ class PallasEngine:
                     cand = cand_scr[...]
                     valid_j = cand[f_pad:f_pad + 1, :] > 0.5   # (1, 9WC)
 
-                    def pass_body(ps, _):
+                    def do_pass(ps):
                         off = cs - cbase + ps * CB
                         off = jnp.minimum(off, jnp.int32(r_max - CB))
                         cen = cen_scr[pl.ds(off, CB), :]       # (CB, F)
@@ -307,14 +322,18 @@ class PallasEngine:
                                 [res, jnp.zeros((CB, pad), jnp.float32)],
                                 axis=1)
                         out_scr[pl.ds(off, CB), :] = res
-                        return 0
 
-                    n_pass = jnp.minimum(pl.cdiv(cnt, CB), MAX_PASSES)
-                    jax.lax.fori_loop(0, n_pass, pass_body, 0)
+                    # static predicated passes: the common case (<= CB
+                    # particles per cell) pays for exactly one
+                    do_pass(0)
+                    for ps in range(1, MAX_PASSES):
+                        @pl.when(cnt > ps * CB)
+                        def _more(ps=ps):
+                            do_pass(ps)
 
                 return 0
 
-            jax.lax.fori_loop(0, nz, z_body, 0)
+            jax.lax.fori_loop(zb_ref[0, 0], zb_ref[0, 1], z_body, 0)
 
             # ---- chunked write-back (forward overshoot rewritten later) ----
             row_len = row_end - row_start
