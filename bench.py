@@ -39,18 +39,22 @@ def main():
     solver = build_solver(params)
     state = solver.initialize(particles)
 
-    # warmup (compile + steady state)
-    for _ in range(args.warmup):
-        state, metrics = solver.step(state)
-    # force completion via host readback (block_until_ready is unreliable
-    # through the axon tunnel)
-    _ = float(state.t)
+    # scan-chunked stepping: amortizes dispatch overhead (the axon tunnel
+    # costs ~20-30ms per dispatch) exactly like production frame loops
+    chunk = min(args.steps, 20)
+    frame_fn = solver.make_frame_fn(chunk)
 
+    state, _ = frame_fn(state)  # compile + warmup
+    _ = float(state.t)  # host readback forces completion (block_until_ready
+    #                     is unreliable through the axon tunnel)
+
+    n_chunks = max(args.steps // chunk, 1)
     t0 = time.time()
-    for _ in range(args.steps):
-        state, metrics = solver.step(state)
+    for _ in range(n_chunks):
+        state, metrics = frame_fn(state)
     _ = float(state.t)
     elapsed = time.time() - t0
+    args.steps = n_chunks * chunk
 
     fps = args.steps / elapsed
     x = np.asarray(state.p.x)

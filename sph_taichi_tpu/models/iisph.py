@@ -1,0 +1,228 @@
+"""Implicit Incompressible SPH (IISPH) solver.
+
+The reference ships IISPH.py in a stale form: it targets a neighbor-list
+API that no longer exists and is not wired into build_solver
+(particle_system.py:214-221), and its a_ii inner loops carry obvious
+index typos (IISPH.py:37-42 reuse j for k).  Per SURVEY §7.11 this module
+ports the *intended math* — relaxed-Jacobi IISPH (Ihmsen et al. 2014) with
+omega = 0.5 (IISPH.py:116), warm start last_pressure = 0.5*p
+(IISPH.py:100), tolerance 1e-3 with <= 1000 iterations (IISPH.py:104-112)
+— onto the engine/term mechanism, with the solver loop as an on-device
+lax.while_loop.
+
+Structure per substep (IISPH.py:259-267):
+  densities -> non-pressure forces (gravity + viscosity, IISPH.py:236-249)
+  -> predict advection (v* = v + dt*a; a_ii; source term s_i)
+  -> relaxed-Jacobi pressure solve -> pressure forces -> advect
+  (fluid advects by pressure accel only: v* already includes a_nonp,
+  IISPH.py:251-257).
+
+a_ii derivation (corrected form of IISPH.py:20-69):
+  S_i = sum_j m_V_j gradW_ij / rho_j^2     (all neighbors)
+  G_i = sum_j m_V_j gradW_ij
+  Q_i = sum_j m_V_j |gradW_ij|^2
+  a_ii = dt^2 rho0^2 ( -S_i . G_i - (m_V_i / rho_i^2) Q_i )
+"""
+
+import jax
+import jax.numpy as jnp
+
+from sph_taichi_tpu.state import MATERIAL_FLUID, MATERIAL_SOLID, Particles
+from sph_taichi_tpu.ops.kernels import (
+    cubic_kernel, cubic_kernel_derivative_scalar)
+from sph_taichi_tpu.ops.pairs import vdot, vscale
+from sph_taichi_tpu.models.base import (
+    SPHBase, compute_densities, ectx, sync_fields)
+
+
+class IISPHSolver(SPHBase):
+    def __init__(self, params):
+        self.omega = 0.5          # IISPH.py:116
+        self.max_iterations = 1000
+        self.tolerance = 1e-3     # IISPH.py:110
+        super().__init__(params)
+
+    # ------------------------------------------------------------------
+    def compute_non_pressure(self, p: Particles, ctx):
+        """Gravity + fluid viscosity for every real particle
+        (IISPH.py:236-249; viscosity_force from sph_base.py:70-78)."""
+        params = self.params
+        h = params.support_radius
+        d = 2.0 * (params.dim + 2.0)
+        visc = params.viscosity
+
+        def term(fi, fj, rvec, rn):
+            fluid_j = fj["material"] == MATERIAL_FLUID
+            dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"],
+                  fi["v2"] - fj["v2"])
+            v_xy = vdot(dv, rvec)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            coef = jnp.where(
+                fluid_j,
+                d * visc * (fj["m"] / fj["density"]) * v_xy
+                / (rn * rn + 0.01 * h * h) * gradw_s, 0.0)
+            return {"a": vscale(coef, rvec)}
+
+        out = self.engine.traverse(
+            ectx(ctx), p.x,
+            {"material": p.material, "m": p.m, "density": p.density,
+             "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
+            term, {"a": "vec"})
+        acc = self.g[None, :] + jnp.stack(out["a"], axis=1)
+        acc = jnp.where((p.material == -1)[:, None], 0.0, acc)
+        return p._replace(acc=acc)
+
+    # ------------------------------------------------------------------
+    def predict_advection(self, p: Particles, ctx, dt):
+        """a_ii, v* and the density-deviation source (IISPH.py:20-100)."""
+        params = self.params
+        h = params.support_radius
+        rho0 = self.density_0
+
+        # v* = v + dt * a_nonpressure for fluid (IISPH.py:73-75)
+        v_star = jnp.where(p.is_fluid()[:, None], p.v + dt * p.acc, p.v)
+        p = p._replace(v=v_star)
+        p = sync_fields(ctx, p, ["v"])
+
+        def term(fi, fj, rvec, rn):
+            real = fj["material"] >= 0
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            mg = jnp.where(real, fj["m_V"] * gradw_s, 0.0)
+            g_vec = vscale(mg, rvec)                       # m_V_j gradW_ij
+            s_vec = vscale(mg / (fj["density"] * fj["density"]), rvec)
+            q = mg * gradw_s * (rn * rn)          # m_V_j |gradW_ij|^2
+            dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"],
+                  fi["v2"] - fj["v2"])
+            div = mg * vdot(dv, rvec)             # m_V_j (v_i-v_j).gradW_ij
+            return {"g": g_vec, "s": s_vec, "q": q, "div": div}
+
+        out = self.engine.traverse(
+            ectx(ctx), p.x,
+            {"material": p.material, "m_V": p.m_V, "density": p.density,
+             "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
+            term, {"g": "vec", "s": "vec", "q": "scalar", "div": "scalar"})
+
+        gx, gy, gz = out["g"]
+        sx, sy, sz = out["s"]
+        dot_sg = sx * gx + sy * gy + sz * gz
+        rho2 = p.density * p.density
+        a_ii = (dt * dt) * (rho0 * rho0) * (
+            -dot_sg - (p.m_V / rho2) * out["q"])
+
+        # source term (IISPH.py:77-94)
+        source = rho0 - p.density - dt * out["div"] * rho0
+        last_pressure = 0.5 * p.pressure   # warm start (IISPH.py:100)
+        return p, a_ii, source, last_pressure
+
+    # ------------------------------------------------------------------
+    def _pressure_accel(self, p: Particles, ctx, pressure):
+        """Symmetric pressure acceleration from a pressure field
+        (IISPH.py:114-144 / :202-233)."""
+        params = self.params
+        h = params.support_radius
+        rho0 = self.density_0
+
+        def term(fi, fj, rvec, rn):
+            fluid_j = fj["material"] == MATERIAL_FLUID
+            solid_j = fj["material"] == MATERIAL_SOLID
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            dpi = fi["pr"] / (fi["density"] * fi["density"])
+            dpj = jnp.where(fluid_j,
+                            fj["pr"] / (fj["density"] * fj["density"]),
+                            fi["pr"] / (rho0 * rho0))
+            coef = jnp.where(fluid_j | solid_j,
+                             -rho0 * fj["m_V"] * (dpi + dpj) * gradw_s, 0.0)
+            return {"ap": vscale(coef, rvec)}
+
+        out = self.engine.traverse(
+            ectx(ctx), p.x,
+            {"material": p.material, "m_V": p.m_V, "density": p.density,
+             "pr": pressure},
+            term, {"ap": "vec"})
+        return jnp.stack(out["ap"], axis=1)
+
+    def _apply_A(self, p: Particles, ctx, accel):
+        """Ap_i = dt^2 rho0 sum_j m_V_j (a_i - a_j).gradW_ij
+        (IISPH.py:146-163) — dt^2 applied by the caller."""
+        params = self.params
+        h = params.support_radius
+
+        def term(fi, fj, rvec, rn):
+            real = fj["material"] >= 0
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            da = (fi["a0"] - fj["a0"], fi["a1"] - fj["a1"],
+                  fi["a2"] - fj["a2"])
+            return {"ap": jnp.where(real,
+                                    fj["m_V"] * gradw_s * vdot(da, rvec),
+                                    0.0)}
+
+        out = self.engine.traverse(
+            ectx(ctx), p.x,
+            {"material": p.material, "m_V": p.m_V,
+             "a0": accel[:, 0], "a1": accel[:, 1], "a2": accel[:, 2]},
+            term, {"ap": "scalar"})
+        return out["ap"]
+
+    # ------------------------------------------------------------------
+    def pressure_solve(self, p: Particles, ctx, a_ii, source, last_pressure,
+                       dt):
+        """Relaxed Jacobi to avg |Ap - s|/rho0 < 1e-3, <= 1000 iterations
+        (IISPH.py:102-179) as an on-device while_loop."""
+        params = self.params
+        rho0 = self.density_0
+        dt2 = dt * dt
+        real = p.material >= 0
+        owned = real & (p.is_dynamic >= 0)
+
+        def body(carry):
+            last_p, _, it = carry
+            accel = self._pressure_accel(p, ctx, last_p)
+            ap = self._apply_A(p, ctx, accel) * dt2 * rho0
+            new_p = jnp.where(
+                jnp.abs(a_ii) > 1e-6,
+                jnp.maximum(last_p + self.omega * (source - ap) / a_ii, 0.0),
+                0.0)
+            new_p = jnp.where(real, new_p, 0.0)
+            err = jnp.sum(jnp.where(owned & (new_p != 0.0),
+                                    jnp.abs(ap - source) / rho0, 0.0))
+            if params.axis_name:
+                err = jax.lax.psum(err, params.axis_name)
+            err = err / params.n_particles
+            new_p = self._sync(ctx, p, new_p)
+            return new_p, err, it + 1
+
+        def cond(carry):
+            _, err, it = carry
+            return (it == 0) | ((err >= self.tolerance)
+                                & (it < self.max_iterations))
+
+        init = (last_pressure, jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.int32))
+        pressure, err, iters = jax.lax.while_loop(cond, body, init)
+        return pressure, {"pressure_iters": iters, "pressure_error": err}
+
+    def _sync(self, ctx, p, arr):
+        q = sync_fields(ctx, p._replace(pressure=arr), ["pressure"])
+        return q.pressure
+
+    # ------------------------------------------------------------------
+    def advect(self, p: Particles, pressure_accel, dt):
+        """Fluid only: v += dt*a_p (v already holds v*); x += dt*v
+        (IISPH.py:251-257)."""
+        m = p.is_fluid()[:, None]
+        v = jnp.where(m, p.v + dt * pressure_accel, p.v)
+        x = jnp.where(m, p.x + dt * v, p.x)
+        return p._replace(v=v, x=x)
+
+    # ------------------------------------------------------------------
+    def substep(self, p: Particles, ctx, dt):
+        p = compute_densities(p, ctx, self.engine, self.params)
+        p = self.compute_non_pressure(p, ctx)
+        p, a_ii, source, last_p = self.predict_advection(p, ctx, dt)
+        pressure, metrics = self.pressure_solve(
+            p, ctx, a_ii, source, last_p, dt)
+        p = p._replace(pressure=pressure)
+        accel = self._pressure_accel(p, ctx, pressure)
+        accel = jnp.where(p.is_fluid()[:, None], accel, 0.0)
+        p = self.advect(p, accel, dt)
+        return p, metrics

@@ -51,8 +51,7 @@ OUT_CHUNK = 64  # output write-back chunk (particles)
 class RowCtx(NamedTuple):
     rows_compact: jnp.ndarray   # i32[n_rows] occupied row ids first
     n_occ: jnp.ndarray          # i32[] number of occupied rows
-    z_table: jnp.ndarray        # i32[n_rows, 9, nz+1] window starts
-    z_bounds: jnp.ndarray       # i32[n_rows, 2] occupied z-cell range
+    z_table: jnp.ndarray        # i32[n_rows, 9, nz+3] window starts + z-bounds
     diag: dict
 
 
@@ -68,6 +67,7 @@ class PallasEngine:
         self.wc = int(getattr(params, "window_cap", 0) or 64)  # lanes per z-window
         self.r_max = int(getattr(params, "row_cap", 0) or 768)  # particles per row
         self.h2 = params.support_radius * params.support_radius
+        self.ablate = ""  # perf-diagnosis hooks, see _kernel
 
     # ------------------------------------------------------------------
     def prepare(self, x, cell_starts):
@@ -107,7 +107,11 @@ class PallasEngine:
         zmax = (nz - 1 - jnp.argmax(occ_z[:, ::-1], axis=1)).astype(jnp.int32)
         zmin = jnp.where(any_z, zmin, 0)
         zmax = jnp.where(any_z, zmax + 1, 0)           # exclusive
-        z_bounds = jnp.stack([zmin, zmax], axis=1)     # (n_rows, 2)
+
+        # fold the z-bounds into the table: extra columns [nz+1]=zmin,
+        # [nz+2]=zmax on every k (SMEM block shapes must equal full dims)
+        extra = jnp.stack([zmin, zmax], axis=1)[:, None, :]
+        extra = jnp.broadcast_to(extra, (n_rows, 9, 2)).astype(jnp.int32)
 
         row_len = s_full[:, nz] - s_full[:, 0]
         occupied = row_len > 0
@@ -129,8 +133,9 @@ class PallasEngine:
             "window_overflow": jnp.max(win3) > self.wc,
             "cell_overflow": jnp.max(cell_cnt) > CB * MAX_PASSES,
         }
+        z_table = jnp.concatenate([z_table, extra], axis=2)  # (n_rows,9,nz+3)
         return RowCtx(rows_compact=rows_compact, n_occ=n_occ,
-                      z_table=z_table, z_bounds=z_bounds, diag=diag)
+                      z_table=z_table, diag=diag)
 
     # ------------------------------------------------------------------
     def traverse(self, ctx: RowCtx, x, fields: Dict[str, jnp.ndarray],
@@ -172,11 +177,8 @@ class PallasEngine:
             num_scalar_prefetch=2,   # rows_compact, n_occ
             grid=(self.n_rows,),
             in_specs=[
-                pl.BlockSpec((1, 9, self.nz + 1),
+                pl.BlockSpec((1, 9, self.nz + 3),
                              lambda i, rows, nocc: (rows[i], 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2),
-                             lambda i, rows, nocc: (rows[i], 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),   # lanes (HBM)
                 pl.BlockSpec(memory_space=pltpu.ANY),   # subs (HBM)
@@ -199,7 +201,7 @@ class PallasEngine:
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(ctx.rows_compact, jnp.full((1,), ctx.n_occ, jnp.int32),
-          ctx.z_table, ctx.z_bounds, lanes, subs)
+          ctx.z_table, lanes, subs)
 
         outs = {}
         pos = 0
@@ -212,7 +214,7 @@ class PallasEngine:
         return outs
 
     # ------------------------------------------------------------------
-    def _kernel(self, rows_ref, nocc_ref, z_ref, zb_ref, lanes_hbm, subs_hbm,
+    def _kernel(self, rows_ref, nocc_ref, z_ref, lanes_hbm, subs_hbm,
                 out_hbm, win_scr, cen_scr, out_scr, cand_scr,
                 sems, *, term_fn, name_to_idx, out_cols, f_pad, n_out_pad, n,
                 r_max):
@@ -258,6 +260,9 @@ class PallasEngine:
                 ce = z_ref[0, 4, iz + 1]
                 cnt = ce - cs
 
+                if self.ablate == "emptyz":
+                    return 0
+
                 @pl.when(cnt > 0)
                 def _cell():
                     # ---- assemble candidate tile (F+1, 9*WC) ----
@@ -265,18 +270,24 @@ class PallasEngine:
                     # read an aligned 256-lane slab and rotate the window
                     # to the front (delta + wc <= 256 holds by the clamp).
                     for k in range(9):
+                        if self.ablate == "noassemble":
+                            break
                         wlo = z_ref[0, k, jnp.maximum(iz - 1, 0)]
                         whi = z_ref[0, k, jnp.minimum(iz + 2, nz)]
                         loc = jnp.minimum(wlo - base[k],
                                           jnp.int32(r_max - wc))
                         loc = jnp.maximum(loc, 0)
-                        loc_a = jnp.minimum((loc // 128) * 128,
-                                            jnp.int32(r_max - 256))
-                        loc_a = pl.multiple_of(loc_a, 128)
-                        delta = loc - loc_a
-                        slab = win_scr[k, :, pl.ds(loc_a, 256)]  # (F, 256)
-                        slab = pltpu.roll(slab, 256 - delta, axis=1)
-                        seg = slab[:, :wc]                       # (F, WC)
+                        if self.ablate == "noslab":
+                            seg = win_scr[k, :, 0:wc]
+                        else:
+                            loc_a = jnp.minimum((loc // 128) * 128,
+                                                jnp.int32(r_max - 256))
+                            loc_a = pl.multiple_of(loc_a, 128)
+                            delta = loc - loc_a
+                            slab = win_scr[k, :, pl.ds(loc_a, 256)]  # (F,256)
+                            if self.ablate != "noroll":
+                                slab = pltpu.roll(slab, 256 - delta, axis=1)
+                            seg = slab[:, :wc]                       # (F, WC)
                         cand_scr[0:f_pad, k * wc:(k + 1) * wc] = seg
                         g = seg[3:4, :]                          # gidx row
                         ok = ((g >= wlo.astype(jnp.float32))
@@ -326,18 +337,23 @@ class PallasEngine:
                     # static predicated passes: the common case (<= CB
                     # particles per cell) pays for exactly one
                     do_pass(0)
-                    for ps in range(1, MAX_PASSES):
+                    n_passes = 1 if self.ablate == "onepass" else MAX_PASSES
+                    for ps in range(1, n_passes):
                         @pl.when(cnt > ps * CB)
                         def _more(ps=ps):
                             do_pass(ps)
 
                 return 0
 
-            jax.lax.fori_loop(zb_ref[0, 0], zb_ref[0, 1], z_body, 0)
+            jax.lax.fori_loop(z_ref[0, 0, nz + 1], z_ref[0, 0, nz + 2],
+                              z_body, 0)
 
             # ---- chunked write-back (forward overshoot rewritten later) ----
             row_len = row_end - row_start
             n_chunks = pl.cdiv(row_len, OUT_CHUNK)
+
+            if self.ablate == "nowriteback":
+                return
 
             def out_body(c, _):
                 src_off = (row_start - cbase) + c * OUT_CHUNK
