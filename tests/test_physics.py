@@ -1,0 +1,198 @@
+"""Physics invariants (SURVEY §4): containment, momentum symmetry,
+density clamp, rigid shape preservation, determinism."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sph_taichi_tpu import SimConfig, build_scene, build_solver
+from sph_taichi_tpu.state import MATERIAL_SOLID
+from conftest import small_scene_dict
+
+
+def run_steps(method, n_steps, scene=None, **scene_kw):
+    cfg = SimConfig(config_dict=scene or small_scene_dict(method=method,
+                                                          **scene_kw))
+    params, particles, _ = build_scene(cfg)
+    solver = build_solver(params)
+    state = solver.initialize(particles)
+    metrics = None
+    for _ in range(n_steps):
+        state, metrics = solver.step(state)
+    return params, state, metrics
+
+
+@pytest.mark.parametrize("method", [0, 4, 2])
+def test_particles_stay_in_padded_box(method):
+    params, state, _ = run_steps(method, 15)
+    p = state.p
+    fluid = np.asarray(p.material) == 1
+    x = np.asarray(p.x)[fluid]
+    assert np.isfinite(x).all()
+    pad = params.padding
+    size = np.asarray(params.domain_size)
+    assert (x >= pad - 1e-5).all()
+    assert (x <= size - pad + 1e-5).all()
+
+
+def test_density_clamped_before_eos():
+    # WCSPH stores max(rho, rho0) (WCSPH.py:75) — after a step every fluid
+    # density on record is >= rho0 and pressure >= 0
+    params, state, _ = run_steps(0, 5)
+    p = state.p
+    fluid = np.asarray(p.material) == 1
+    assert (np.asarray(p.density)[fluid] >= params.density0 - 1e-3).all()
+    assert (np.asarray(p.pressure)[fluid] >= -1e-3).all()
+
+
+def test_momentum_conservation_of_pair_forces():
+    # fluid-only box with zero gravity: symmetric pressure+viscosity pairs
+    # must conserve linear momentum (up to f32 summation noise) until a
+    # particle touches the wall
+    d = small_scene_dict(method=0, velocity=(0.3, 0.0, 0.0))
+    d["Configuration"]["gravitation"] = [0.0, 0.0, 0.0]
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg)
+    solver = build_solver(params)
+    state = solver.initialize(particles)
+    p0 = state.p
+    fluid = np.asarray(p0.material) == 1
+    mom0 = (np.asarray(p0.m)[fluid, None] * np.asarray(p0.v)[fluid]).sum(0)
+    for _ in range(5):
+        state, _ = solver.step(state)
+    p1 = state.p
+    fluid = np.asarray(p1.material) == 1
+    mom1 = (np.asarray(p1.m)[fluid, None] * np.asarray(p1.v)[fluid]).sum(0)
+    np.testing.assert_allclose(mom1, mom0, atol=5e-4 * max(1.0, abs(mom0).max()))
+
+
+def test_dfsph_converges_or_caps():
+    _, _, metrics = run_steps(4, 8)
+    assert 1 <= int(metrics["pressure_iters"]) <= 100
+    assert 1 <= int(metrics["divergence_iters"]) <= 100
+
+
+def test_determinism_bitwise():
+    outs = []
+    for _ in range(2):
+        _, state, _ = run_steps(0, 5)
+        outs.append(np.asarray(state.p.x))
+    assert np.array_equal(outs[0], outs[1])
+
+
+def _rigid_scene(velocity=(0.0, 0.0, 0.0)):
+    # fluid column right above the rigid block
+    d = small_scene_dict(method=0, block=((0.15, 0.45, 0.15),
+                                          (0.55, 0.8, 0.55)),
+                         velocity=velocity)
+    d["RigidBlocks"] = [{
+        "objectId": 1,
+        "start": [0.35, 0.15, 0.35], "end": [0.6, 0.4, 0.6],
+        "translation": [0.0, 0.0, 0.0], "scale": [1, 1, 1],
+        "velocity": [0.0, 0.0, 0.0], "density": 800.0,
+        "color": [255, 255, 255], "isDynamic": True,
+    }]
+    return d
+
+
+def test_rigid_body_shape_preserved():
+    # shape matching: pairwise distances within the rigid body stay at
+    # their rest values
+    cfg = SimConfig(config_dict=_rigid_scene())
+    params, particles, _ = build_scene(cfg)
+    solver = build_solver(params)
+    state = solver.initialize(particles)
+    for _ in range(10):
+        state, metrics = solver.step(state)
+    p = state.p
+    rigid = (np.asarray(p.material) == MATERIAL_SOLID) \
+        & (np.asarray(p.object_id) == 1)
+    x = np.asarray(p.x)[rigid]
+    x0 = np.asarray(p.x0)[rigid]
+    assert x.shape[0] > 0
+    # compare a sample of pairwise distances
+    idx = np.arange(0, x.shape[0], max(x.shape[0] // 20, 1))
+    d_now = np.linalg.norm(x[idx, None] - x[None, idx], axis=-1)
+    d_rest = np.linalg.norm(x0[idx, None] - x0[None, idx], axis=-1)
+    np.testing.assert_allclose(d_now, d_rest, atol=1e-4)
+    # and the rotation matrix metric is a proper rotation
+    r = np.asarray(metrics["rigid"]["R"])[0]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+    assert abs(np.linalg.det(r) - 1.0) < 1e-4
+
+
+def test_pressure_reaction_matches_scatter_formula():
+    # unit check of the gather-form reaction against the reference scatter
+    # (WCSPH.py:67-68): one pressurized fluid particle next to one dynamic
+    # rigid particle
+    import jax.numpy as jnp
+    from sph_taichi_tpu.state import SimParams, make_particles
+    from sph_taichi_tpu.models.wcsph import WCSPHSolver
+    from sph_taichi_tpu.ops.kernels import cubic_kernel_derivative
+
+    params = SimParams(
+        dim=3, particle_radius=0.025, density0=1000.0,
+        gravity=(0.0, 0.0, 0.0), dt0=4e-4, stiffness=5e4, exponent=7,
+        simulation_method=0, domain_start=(0, 0, 0), domain_end=(1, 1, 1),
+        n_particles=2, n_fluid=1, n_solid=1, n_pad=512, num_objects=2,
+        rigid_body_ids=(1,), dynamic_rigid_ids=(1,))
+    h = params.support_radius
+    x_f = np.array([0.5, 0.53, 0.5])
+    x_r = np.array([0.5, 0.47, 0.5])
+    arrays = dict(
+        object_id=np.array([0, 1]), x=np.stack([x_f, x_r]),
+        v=np.zeros((2, 3)), density=np.array([1200.0, 1000.0]),
+        pressure=np.zeros(2), material=np.array([1, 0]),
+        is_dynamic=np.array([1, 1]), color=np.zeros((2, 3)),
+        m_V=np.full(2, params.m_V0), m=np.full(2, params.m_V0 * 1000.0))
+    p = make_particles(arrays, 512)
+    solver = WCSPHSolver(params)
+    state = solver.initialize(p)
+    state, _ = solver.step(state)
+    pp = state.p
+    rigid = np.asarray(pp.material) == MATERIAL_SOLID
+    acc_r = np.asarray(pp.acc)[rigid][0]
+
+    # expected, replaying the reference math by hand:
+    # m_V_r = 3/W(0) (Akinci volume, only solid neighbor is itself);
+    # rho_f recomputed = rho0*(m_V0*W(0) + m_V_r*W(r)), clamped >= rho0;
+    # p = Tait EOS; f_p = -rho0*m_V_r*(p/rho^2 + p/rho0^2)*gradW(x_f-x_r);
+    # reaction = -f_p * rho0 / rho_r (rho_r = scene density 1000)
+    from sph_taichi_tpu.ops.kernels import cubic_kernel
+    rho0 = 1000.0
+    w0 = float(cubic_kernel(jnp.zeros(()), h))
+    rdist = np.linalg.norm(x_f - x_r)
+    w_fr = float(cubic_kernel(jnp.asarray(rdist, jnp.float32), h))
+    # rigid's boundary volume sums SOLID neighbors only; the fluid
+    # particle is not solid, so delta = W(0) alone
+    m_v_r = 3.0 / w0
+    np.testing.assert_allclose(float(np.asarray(pp.m_V)[rigid][0]), m_v_r,
+                               rtol=1e-4)
+    rho_f = max(rho0 * (params.m_V0 * w0 + m_v_r * w_fr), rho0)
+    pr = 5e4 * ((rho_f / rho0) ** 7 - 1.0)
+    gradw = np.asarray(cubic_kernel_derivative(
+        jnp.asarray((x_f - x_r), jnp.float32), h))
+    f_p = -rho0 * m_v_r * (pr / rho_f ** 2 + pr / rho0 ** 2) * gradw
+    expected = -f_p * rho0 / 1000.0
+    np.testing.assert_allclose(acc_r, expected, rtol=5e-3, atol=1e-5)
+
+
+def test_two_way_coupling_reaction():
+    # a dynamic rigid block under a fast fluid column must receive a
+    # reaction (acceleration differs from pure gravity on impact)
+    cfg = SimConfig(config_dict=_rigid_scene(velocity=(0.0, -8.0, 0.0)))
+    params, particles, _ = build_scene(cfg)
+    solver = build_solver(params)
+    state = solver.initialize(particles)
+    dev_max = 0.0
+    for _ in range(80):
+        state, _ = solver.step(state)
+        p = state.p
+        rigid = np.asarray(p.material) == MATERIAL_SOLID
+        acc = np.asarray(p.acc)[rigid]
+        g = np.asarray(params.gravity)
+        assert np.isfinite(acc).all()
+        dev_max = max(dev_max,
+                      np.linalg.norm(acc - g[None, :], axis=1).max())
+    # at some point during the impact, rigid particles felt fluid pressure
+    assert dev_max > 1e-3, f"no reaction ever felt (max dev {dev_max})"
