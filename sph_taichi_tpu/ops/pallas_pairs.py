@@ -65,7 +65,7 @@ class PallasEngine:
         self.n_rows = nx * ny
         # static capacities (config-derived)
         self.wc = int(getattr(params, "window_cap", 0) or 64)  # lanes per z-window
-        self.r_max = int(getattr(params, "row_cap", 0) or 768)  # particles per row
+        self.r_max = int(getattr(params, "row_cap", 0) or 1024)  # particles per row
         self.h2 = params.support_radius * params.support_radius
         self.ablate = ""  # perf-diagnosis hooks, see _kernel
 
@@ -129,7 +129,10 @@ class PallasEngine:
             "max_row_len": jnp.max(row_len),
             "max_window_len": jnp.max(win3),
             "max_cell_occupancy_engine": jnp.max(cell_cnt),
-            "row_overflow": jnp.max(row_len) > self.r_max - 128,
+            # binding constraint: window offsets must stay un-clamped and
+            # the 256-lane roll must not wrap (see _kernel); derivation in
+            # docs/DESIGN.md
+            "row_overflow": jnp.max(row_len) > self.r_max - self.wc - 128,
             "window_overflow": jnp.max(win3) > self.wc,
             "cell_overflow": jnp.max(cell_cnt) > CB * MAX_PASSES,
         }
@@ -156,9 +159,6 @@ class PallasEngine:
             cols.append(jnp.zeros((n,), jnp.float32))
 
         lanes = jnp.stack(cols, axis=0)    # (F, N) candidate side
-        # center side: (N, 128) — VMEM DMA destinations need 128-lane width
-        subs = jnp.stack(cols[:f_used], axis=1)
-        subs = jnp.pad(subs, ((0, 0), (0, 128 - f_used)))
 
         out_names = sorted(out_specs.keys())
         out_cols = []
@@ -181,12 +181,10 @@ class PallasEngine:
                              lambda i, rows, nocc: (rows[i], 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),   # lanes (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),   # subs (HBM)
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.VMEM((9, f_pad, r_max), jnp.float32),        # windows
-                pltpu.VMEM((r_max, 128), jnp.float32),             # centers
                 pltpu.VMEM((r_max, 128), jnp.float32),             # out acc
                 pltpu.VMEM((f_pad + 1, 9 * self.wc), jnp.float32), # cand tile
                 pltpu.SemaphoreType.DMA((12,)),
@@ -201,7 +199,7 @@ class PallasEngine:
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(ctx.rows_compact, jnp.full((1,), ctx.n_occ, jnp.int32),
-          ctx.z_table, lanes, subs)
+          ctx.z_table, lanes)
 
         outs = {}
         pos = 0
@@ -214,8 +212,8 @@ class PallasEngine:
         return outs
 
     # ------------------------------------------------------------------
-    def _kernel(self, rows_ref, nocc_ref, z_ref, lanes_hbm, subs_hbm,
-                out_hbm, win_scr, cen_scr, out_scr, cand_scr,
+    def _kernel(self, rows_ref, nocc_ref, z_ref, lanes_hbm,
+                out_hbm, win_scr, out_scr, cand_scr,
                 sems, *, term_fn, name_to_idx, out_cols, f_pad, n_out_pad, n,
                 r_max):
         wc = self.wc
@@ -228,7 +226,7 @@ class PallasEngine:
             row_start = z_ref[0, 4, 0]
             row_end = z_ref[0, 4, nz]
 
-            # ---- DMA all 9 candidate windows + the center slice ----
+            # ---- DMA all 9 candidate windows ----
             # dynamic lane offsets in DMAs must be 128-aligned (Mosaic)
             base = []
             for k in range(9):
@@ -242,16 +240,10 @@ class PallasEngine:
             cbase = jnp.maximum(
                 jnp.minimum(row_start, jnp.int32(n - r_max)), 0)
             cbase = pl.multiple_of((cbase // 128) * 128, 128)
-            pltpu.make_async_copy(
-                subs_hbm.at[pl.ds(cbase, r_max), :],
-                cen_scr, sems.at[9]).start()
             for k in range(9):
                 pltpu.make_async_copy(
                     lanes_hbm.at[:, pl.ds(base[k], r_max)],
                     win_scr.at[k], sems.at[k]).wait()
-            pltpu.make_async_copy(
-                subs_hbm.at[pl.ds(cbase, r_max), :],
-                cen_scr, sems.at[9]).wait()
 
             out_scr[...] = jnp.zeros((r_max, 128), jnp.float32)
 
@@ -265,6 +257,19 @@ class PallasEngine:
 
                 @pl.when(cnt > 0)
                 def _cell():
+                    # ---- centers from the row's own window (k=4): roll the
+                    # aligned slab so this cell starts at lane 0, transpose
+                    loc_c = jnp.minimum(cs - base[4],
+                                        jnp.int32(r_max - 256))
+                    loc_ca = jnp.minimum((loc_c // 128) * 128,
+                                         jnp.int32(r_max - 256))
+                    loc_ca = pl.multiple_of(loc_ca, 128)
+                    cslab = win_scr[4, :, pl.ds(loc_ca, 256)]
+                    cslab = pltpu.roll(cslab, 256 - (loc_c - loc_ca), axis=1)
+                    centers_t = jnp.transpose(cslab[:, :CB * MAX_PASSES])
+                    # (32, F): rows beyond cnt belong to later cells and are
+                    # rewritten by their own passes
+
                     # ---- assemble candidate tile (F+1, 9*WC) ----
                     # VMEM vector loads need 128-aligned lane offsets, so
                     # read an aligned 256-lane slab and rotate the window
@@ -301,7 +306,7 @@ class PallasEngine:
                     def do_pass(ps):
                         off = cs - cbase + ps * CB
                         off = jnp.minimum(off, jnp.int32(r_max - CB))
-                        cen = cen_scr[pl.ds(off, CB), :]       # (CB, F)
+                        cen = centers_t[ps * CB:(ps + 1) * CB, :]  # (CB, F)
 
                         fi = {k_: cen[:, v:v + 1]
                               for k_, v in name_to_idx.items()}

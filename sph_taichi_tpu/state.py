@@ -110,7 +110,7 @@ class SimParams:
     cell_cap: int = 32            # M: max particles fetched per grid cell
     backend: str = "auto"         # pair engine: "auto" | "gather" | "pallas"
     window_cap: int = 64          # pallas: lanes per 3-cell z-window
-    row_cap: int = 768            # pallas: max particles per grid row
+    row_cap: int = 1024           # pallas: max particles per grid row
     # spatial sharding (parallel/sharding.py): local extended grid override
     grid_num_override: tuple = ()
     axis_name: str = ""           # mesh axis for cross-device reductions
