@@ -67,7 +67,7 @@ def main():
         "particles": params.n_particles,
         "particle_steps_per_sec": round(fps * params.n_particles),
         "finite": finite,
-        "backend": params.backend,
+        "backend": type(solver.engine).__name__,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -76,6 +76,8 @@ def bin_and_sort(p: Particles, params: SimParams, engine):
     starts = cell_offsets(sorted_ids, params.num_cells)
     ctx = engine.prepare(p.x, starts)
     diag = {"max_cell_occupancy": max_cell_occupancy(starts)}
+    if hasattr(ctx, "diag"):
+        diag.update(ctx.diag)   # pallas capacity diagnostics
     return p, ctx, diag
 
 

@@ -161,7 +161,8 @@ class ShardedSolver:
         p = jax.tree_util.tree_map(np.asarray, state.p)
         mat = _pack_np(p, self.with_dfsph)
 
-        ix = (p.x[:, 0] / self.params.grid_size).astype(np.int32)
+        x0c = np.clip(p.x[:, 0], 0.0, 1e6)  # pads sit at 1e9 (i32 overflow)
+        ix = (x0c / self.params.grid_size).astype(np.int32)
         owner = np.clip(ix // self.nxd, 0, self.n_dev - 1)
         owner[p.material == MATERIAL_PAD] = -1
 
