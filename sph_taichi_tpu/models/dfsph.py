@@ -186,6 +186,10 @@ class DFSPHSolver(SPHBase):
         eps = self.m_eps
 
         def term(fi, fj, rvec, rn):
+            # NOTE: dt is traced (SimState.dt) and must not be captured by
+            # the term closure (the Pallas kernel takes no traced
+            # constants); it scales "dv" linearly, so it is applied after
+            # the traversal instead.
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
             fluid_j = fj["material"] == MATERIAL_FLUID
             solid_j = fj["material"] == MATERIAL_SOLID
@@ -195,10 +199,10 @@ class DFSPHSolver(SPHBase):
             # grad_p_j = -m_V_j * gradw_s * rvec
             coef_fluid = jnp.where(
                 fluid_j & (jnp.abs(k_sum) > eps),
-                dt * k_sum * fj["m_V"] * gradw_s, 0.0)
+                k_sum * fj["m_V"] * gradw_s, 0.0)
             coef_solid = jnp.where(
                 solid_j & (jnp.abs(k_i) > eps),
-                dt * k_i * fj["m_V"] * gradw_s, 0.0)
+                k_i * fj["m_V"] * gradw_s, 0.0)
             outs = {"dv": vscale(coef_fluid + coef_solid, rvec)}
             if with_reaction:
                 rc = jnp.where(
@@ -214,7 +218,7 @@ class DFSPHSolver(SPHBase):
             fields["density"] = p.density
             specs["react"] = "vec"
         out = self.engine.traverse(ectx(ctx), p.x, fields, term, specs)
-        dv = jnp.stack(out["dv"], axis=1)
+        dv = dt * jnp.stack(out["dv"], axis=1)
         react = jnp.stack(out["react"], axis=1) if with_reaction else None
         return dv, react
 

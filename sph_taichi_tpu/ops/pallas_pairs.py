@@ -132,7 +132,10 @@ class PallasEngine:
             # binding constraint: window offsets must stay un-clamped and
             # the 256-lane roll must not wrap (see _kernel); derivation in
             # docs/DESIGN.md
-            "row_overflow": jnp.max(row_len) > self.r_max - self.wc - 128,
+            # binding constraint is the 256-lane centers slab: loc_c =
+            # cs - base[4] <= row_len + 128 must stay <= r_max - 256, and
+            # window slabs need row_len + 128 <= r_max - 256 as well
+            "row_overflow": jnp.max(row_len) > self.r_max - 384,
             "window_overflow": jnp.max(win3) > self.wc,
             "cell_overflow": jnp.max(cell_cnt) > CB * MAX_PASSES,
         }
@@ -159,6 +162,12 @@ class PallasEngine:
             cols.append(jnp.zeros((n,), jnp.float32))
 
         lanes = jnp.stack(cols, axis=0)    # (F, N) candidate side
+        # slack lanes so window DMAs [base, base + r_max) never need
+        # clamping near the array tail (base <= start <= n always); slack
+        # gidx = -1 fails the wlo <= gidx mask on every window
+        r_max_s = min(self.r_max, n)
+        lanes = jnp.pad(lanes, ((0, 0), (0, r_max_s + 256)))
+        lanes = lanes.at[3, n:].set(-1.0)
 
         out_names = sorted(out_specs.keys())
         out_cols = []
@@ -227,19 +236,18 @@ class PallasEngine:
             row_end = z_ref[0, 4, nz]
 
             # ---- DMA all 9 candidate windows ----
-            # dynamic lane offsets in DMAs must be 128-aligned (Mosaic)
+            # dynamic lane offsets in DMAs must be 128-aligned (Mosaic).
+            # The lanes array carries r_max + 256 slack lanes, so
+            # [bk, bk + r_max) is always in bounds without clamping.
             base = []
             for k in range(9):
-                bk = jnp.minimum(z_ref[0, k, 0], jnp.int32(n - r_max))
-                bk = jnp.maximum(bk, 0)
+                bk = z_ref[0, k, 0]
                 bk = pl.multiple_of((bk // 128) * 128, 128)
                 base.append(bk)
                 pltpu.make_async_copy(
                     lanes_hbm.at[:, pl.ds(bk, r_max)],
                     win_scr.at[k], sems.at[k]).start()
-            cbase = jnp.maximum(
-                jnp.minimum(row_start, jnp.int32(n - r_max)), 0)
-            cbase = pl.multiple_of((cbase // 128) * 128, 128)
+            cbase = pl.multiple_of((row_start // 128) * 128, 128)
             for k in range(9):
                 pltpu.make_async_copy(
                     lanes_hbm.at[:, pl.ds(base[k], r_max)],
