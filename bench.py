@@ -4,7 +4,13 @@ Headline metric mirrors the reference's published number (README.md:7):
 Dragon Bath, ~420K particles, WCSPH, dt=4e-4 -> steps/s ("FPS", 1 substep
 per frame per dragon_bath.json).  Baseline: 280 FPS on an RTX 3090.
 
-Usage: python bench.py [--scene data/scenes/dragon_bath.json] [--steps 100]
+The same JSON object also carries the second published baseline
+(reference README.md:13): Armadillo Bath two-way coupling, ~1.74M
+particles, 3 dynamic rigid bodies -> 80 FPS, as `armadillo_*` fields
+(one line total — the driver records a single JSON line).
+
+Usage: python bench.py [--scene data/scenes/dragon_bath.json]
+                       [--steps 100] [--skip-armadillo]
 """
 
 import argparse
@@ -16,60 +22,101 @@ import time
 import numpy as np
 
 
-BASELINE_FPS = 280.0  # reference README.md:7 (RTX 3090)
+BASELINE_DRAGON_FPS = 280.0     # reference README.md:7  (RTX 3090)
+BASELINE_ARMADILLO_FPS = 80.0   # reference README.md:13 (RTX 3090)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="data/scenes/dragon_bath.json")
-    ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--warmup", type=int, default=10)
-    ap.add_argument("--backend", default=None)
-    args = ap.parse_args()
-
-    os.chdir(os.path.dirname(os.path.abspath(__file__)))
-    import jax
+def bench_scene(scene, steps, warmup_chunks=1, backend=None):
+    """Run `steps` solver steps of `scene`, return (fps, n_particles,
+    finite, backend_name)."""
     from sph_taichi_tpu import SimConfig, build_scene, build_solver
 
-    cfg = SimConfig(args.scene)
+    cfg = SimConfig(scene)
     params, particles, _ = build_scene(cfg, scene_dir=".")
-    if args.backend:
+    if backend:
         import dataclasses
-        params = dataclasses.replace(params, backend=args.backend)
+        params = dataclasses.replace(params, backend=backend)
     solver = build_solver(params)
     state = solver.initialize(particles)
 
     # scan-chunked stepping: amortizes dispatch overhead (the axon tunnel
     # costs ~20-30ms per dispatch) exactly like production frame loops
-    chunk = min(args.steps, 20)
+    chunk = min(steps, 20)
     frame_fn = solver.make_frame_fn(chunk)
 
-    state, _ = frame_fn(state)  # compile + warmup
+    for _ in range(warmup_chunks):   # compile + warmup
+        state, _ = frame_fn(state)
     _ = float(state.t)  # host readback forces completion (block_until_ready
     #                     is unreliable through the axon tunnel)
 
-    n_chunks = max(args.steps // chunk, 1)
+    n_chunks = max(steps // chunk, 1)
     t0 = time.time()
     for _ in range(n_chunks):
         state, metrics = frame_fn(state)
     _ = float(state.t)
     elapsed = time.time() - t0
-    args.steps = n_chunks * chunk
 
-    fps = args.steps / elapsed
+    fps = n_chunks * chunk / elapsed
     x = np.asarray(state.p.x)
     finite = bool(np.isfinite(x[: params.n_particles]).all())
+    return fps, params.n_particles, finite, type(solver.engine).__name__
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default=None,
+                    help="bench a single scene instead of the default pair")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--armadillo-steps", type=int, default=40)
+    ap.add_argument("--skip-armadillo", action="store_true")
+    ap.add_argument("--backend", default=None)
+    args = ap.parse_args()
+
+    os.chdir(os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    device = str(jax.devices()[0])
+
+    if args.scene:  # single-scene mode
+        fps, n, finite, backend = bench_scene(
+            args.scene, args.steps, backend=args.backend)
+        name = os.path.splitext(os.path.basename(args.scene))[0]
+        print(json.dumps({
+            "metric": f"{name}_fps", "value": round(fps, 2),
+            "unit": "steps/s",
+            "vs_baseline": round(fps / BASELINE_DRAGON_FPS, 4),
+            "particles": n, "finite": finite,
+            "backend": backend, "device": device}))
+        return
+
+    fps, n, finite, backend = bench_scene(
+        "data/scenes/dragon_bath.json", args.steps, backend=args.backend)
     result = {
         "metric": "dragon_bath_420k_wcsph_fps",
         "value": round(fps, 2),
         "unit": "steps/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 4),
-        "particles": params.n_particles,
-        "particle_steps_per_sec": round(fps * params.n_particles),
+        "vs_baseline": round(fps / BASELINE_DRAGON_FPS, 4),
+        "particles": n,
+        "particle_steps_per_sec": round(fps * n),
         "finite": finite,
-        "backend": type(solver.engine).__name__,
-        "device": str(jax.devices()[0]),
+        "backend": backend,
+        "device": device,
     }
+
+    if not args.skip_armadillo:
+        try:
+            afps, an, afinite, _ = bench_scene(
+                "data/scenes/armadillo_bath_dynamic.json",
+                args.armadillo_steps, backend=args.backend)
+            result.update({
+                "armadillo_bath_1p74m_fps": round(afps, 2),
+                "armadillo_vs_baseline":
+                    round(afps / BASELINE_ARMADILLO_FPS, 4),
+                "armadillo_particles": an,
+                "armadillo_finite": afinite,
+            })
+        except Exception as e:  # armadillo failure must not hide the headline
+            result["armadillo_error"] = repr(e)[:200]
+
     print(json.dumps(result))
 
 

@@ -37,8 +37,10 @@ def build_solver(params, scene=None):
 
     Mirrors ParticleSystem.build_solver (reference particle_system.py:214-221):
     0 -> WCSPH, 4 -> DFSPH, else NotImplementedError.
-    Additionally supports 1 -> PCISPH and 2 -> IISPH (capabilities the
-    reference only ships in stale/legacy form).
+    Additionally supports 2 -> IISPH (the reference ships it stale/unwired;
+    here the IISPH math is ported onto the live engine mechanism).  3D
+    PCISPH (method 1) does not exist in the reference's 3D engine either;
+    2D PCISPH lives in legacy2d.py, matching the reference's legacy engine.
     """
     method = params.simulation_method
     if method == 0:

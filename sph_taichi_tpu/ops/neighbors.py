@@ -41,6 +41,17 @@ class NeighborList(NamedTuple):
         slots = jnp.arange(k, dtype=jnp.int32)[None, :]
         return slots < jnp.minimum(self.cnt, k)[:, None]
 
+    @property
+    def diag(self):
+        """Capacity diagnostics, surfaced into step metrics by
+        models.base.bin_and_sort (same contract as PallasEngine's RowCtx).
+        neighbor_overflow != 0 means pair contributions were dropped —
+        physics is WRONG; raise params.neighbor_cap."""
+        k = self.idx.shape[1]
+        return {"max_neighbors": self.max_cnt,
+                "neighbor_overflow":
+                    (self.max_cnt > k).astype(jnp.int32)}
+
 
 def build_neighbor_list(x, cell_starts, grid_num, grid_size, support_radius,
                         neighbor_cap, cell_cap, dim=3):

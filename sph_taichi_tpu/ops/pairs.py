@@ -81,6 +81,9 @@ def split_fields(p, params, names):
 class GatherEngine:
     """(N, K) neighbor-list engine; fast wherever irregular gathers are."""
 
+    # metric keys of ctx.diag (sharded runs need the structure statically)
+    diag_keys = ("max_neighbors", "neighbor_overflow")
+
     def __init__(self, params):
         self.params = params
 

@@ -56,6 +56,10 @@ class RowCtx(NamedTuple):
 
 
 class PallasEngine:
+    # metric keys of RowCtx.diag (sharded runs need the structure statically)
+    diag_keys = ("max_row_len", "max_window_len", "max_cell_occupancy_engine",
+                 "row_overflow", "window_overflow", "cell_overflow")
+
     def __init__(self, params, interpret=False):
         assert params.dim == 3, "Pallas engine is 3D; 2D uses GatherEngine"
         self.params = params

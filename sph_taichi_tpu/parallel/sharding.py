@@ -40,7 +40,7 @@ from jax.experimental.shard_map import shard_map
 
 from sph_taichi_tpu.state import (
     MATERIAL_PAD, MATERIAL_FLUID, Particles, SimParams, SimState)
-from sph_taichi_tpu.ops.grid import cell_offsets
+from sph_taichi_tpu.ops.grid import cell_offsets, max_cell_occupancy
 from sph_taichi_tpu.models import base as mbase
 from sph_taichi_tpu.models.base import StepCtx
 import sph_taichi_tpu as pkg
@@ -384,6 +384,17 @@ class ShardedSolver:
 
         metrics = dict(sub_metrics)
         metrics["rigid"] = rigid_info
+        # capacity/engine diagnostics, pmax-reduced so overflow on ANY
+        # device is visible (single-device parity: SPHBase.step_fn metrics)
+        metrics["max_cell_occupancy"] = jax.lax.pmax(
+            max_cell_occupancy(starts), AXIS)
+        if hasattr(engine_ctx, "diag"):
+            for k, v in engine_ctx.diag.items():
+                metrics[k] = jax.lax.pmax(jnp.asarray(v), AXIS)
+        fluid = p.is_fluid() & ~ghost_mask
+        metrics["max_velocity"] = jax.lax.pmax(
+            jnp.max(jnp.where(fluid, jnp.linalg.norm(p.v, axis=-1), 0.0)),
+            AXIS)
         metrics["owned_particles_max"] = jax.lax.pmax(n_mine, AXIS)
         metrics["migration_overflow"] = jax.lax.pmax(
             (jnp.maximum(n_left, n_right) > self.mig_cap).astype(jnp.int32),
@@ -427,8 +438,16 @@ def _metric_specs(self, state):
     n_rigid = len(self.params.dynamic_rigid_ids)
     rigid = {"R": P(), "cm": P()}
     base = {"rigid": rigid, "owned_particles_max": P(),
-            "migration_overflow": P(), "halo_overflow": P()}
+            "migration_overflow": P(), "halo_overflow": P(),
+            "max_cell_occupancy": P(), "max_velocity": P()}
+    # engine diagnostics (PallasEngine et al. attach a `diag` dict to ctx)
+    for k in getattr(self.solver.engine, "diag_keys", ()):
+        base[k] = P()
+    # IISPH (method 2) returns pressure metrics; DFSPH (4) adds the
+    # divergence-solver pair as well (VERDICT r1 item 5: method-2 sharded
+    # runs previously failed shard_map out_specs structure matching).
+    if self.params.simulation_method in (2, 4):
+        base.update({"pressure_iters": P(), "pressure_error": P()})
     if self.params.simulation_method == 4:
-        base.update({"divergence_iters": P(), "divergence_error": P(),
-                     "pressure_iters": P(), "pressure_error": P()})
+        base.update({"divergence_iters": P(), "divergence_error": P()})
     return base

@@ -17,7 +17,7 @@ from sph_taichi_tpu.parallel.sharding import ShardedSolver
 from conftest import small_scene_dict
 
 
-@pytest.mark.parametrize("method", [0, 4])
+@pytest.mark.parametrize("method", [0, 2, 4])
 def test_sharded_matches_single_device(method):
     assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
     cfg = SimConfig(config_dict=small_scene_dict(method=method))
