@@ -97,9 +97,29 @@ def cell_offsets(sorted_cell_ids, num_cells):
     start has length num_cells + 2 (one extra for the overflow cell used by
     padding particles).  Equivalent information to the reference's inclusive
     prefix sum over per-cell histograms (particle_system.py:374).
+
+    Implementation: a sentinel-merge through two sort networks instead of
+    `searchsorted` — the vectorized binary search is ~469K irregular loads
+    and measured ~50 ms/step at dragon scale on TPU, while two structured
+    sorts of (n + num_cells) keys run in ~1 ms.  Sentinel c gets key 2c
+    (sorting just *before* particles in cell c, key 2c+1), so its merged
+    rank q_c = starts[c] + c; a second flag-sort compacts the sentinel
+    ranks to the front in cell order.
     """
-    bounds = jnp.arange(num_cells + 2, dtype=sorted_cell_ids.dtype)
-    return jnp.searchsorted(sorted_cell_ids, bounds, side="left").astype(jnp.int32)
+    n = sorted_cell_ids.shape[0]
+    c2 = num_cells + 2
+    keys = jnp.concatenate([
+        sorted_cell_ids.astype(jnp.int32) * 2 + 1,
+        jnp.arange(c2, dtype=jnp.int32) * 2,
+    ])
+    flag = jnp.concatenate([jnp.ones((n,), jnp.int32),
+                            jnp.zeros((c2,), jnp.int32)])
+    _, flag_sorted = jax.lax.sort((keys, flag), dimension=0,
+                                  is_stable=True, num_keys=1)
+    q = jnp.arange(n + c2, dtype=jnp.int32)
+    _, q_sent = jax.lax.sort((flag_sorted, q), dimension=0,
+                             is_stable=True, num_keys=1)
+    return q_sent[:c2] - jnp.arange(c2, dtype=jnp.int32)
 
 
 def max_cell_occupancy(starts):

@@ -1,36 +1,60 @@
-"""Pallas TPU pair-traversal engine: row-streaming windowed all-pairs.
+"""Pallas TPU pair-traversal engine v2: group/span/z-batch row streaming.
 
-Why this exists: measured TPU behavior (see SURVEY §2.4 / bench notes) is
-that irregular gathers and scatters run at ~100-200 ms per 442K-particle
-traversal — ~300x slower than structured ops — while sorts, shifts and
-DMA run at full bandwidth.  So the TPU hot path never gathers.  Instead:
+Why this exists: measured TPU behavior (docs/DESIGN.md) is that irregular
+gathers and scatters run at ~100-200 ms per 442K-particle traversal while
+sorts, shifts and DMA run at full bandwidth, so the TPU hot path never
+gathers.  Particles sorted by flat cell id ix*ny*nz + iy*nz + iz make a
+grid "row" (fixed ix,iy; all iz) one contiguous slice of every particle
+array; the 27-cell neighborhood of any cell lives in the 9 rows
+(ix+dx, iy+dy), and — because consecutive iy rows are adjacent both in
+rid and in particle order — those 9 rows are 3 *contiguous* y-spans
+(one per dx), and the spans of G consecutive rows are 3 contiguous
+(G+2)-row spans.
 
-Layout. Particles are sorted by flat cell id ix*ny*nz + iy*nz + iz, so a
-"row" (fixed ix,iy; all iz) is one contiguous slice of every particle
-array, and the 27-cell neighborhood of any cell is contained in the 9
-rows (ix+dx, iy+dy).  Per traversal, the needed per-particle fields are
-packed into two f32 matrices: `lanes` (F, N) for the candidate side
-(particle axis on TPU lanes) and `subs` (N, F) for the center side
-(particle axis on sublanes).
+This is the round-2 redesign of the round-1 per-cell kernel, which was
+~95% structural overhead (per-cell window assembly + per-row DMA issue +
+per-instance grid cost; see VERDICT round 1).  Structural changes:
 
-Kernel. One grid instance per occupied row (compacted id list via
-PrefetchScalarGridSpec): DMA the 9 neighbor-row slices of `lanes` and the
-center-row slice of `subs` into VMEM, then sweep the row's z-cells; for
-each center cell, assemble the 9 z-windows [iz-1, iz+2) (each <= WC lanes)
-into one (F, 9*WC) candidate tile and evaluate the solver's term function
-on (CB, 9*WC) center-broadcast tiles.  Center cells with more than CB
-particles take multiple passes.  Validity masking needs no bookkeeping:
-the packed global index row makes `wlo <= gidx_j < whi`, `gidx_j !=
-gidx_i` exact even on over-fetched lanes.
+1. **Row groups.**  One grid instance handles G consecutive raw rows
+   (grid = ceil(n_rows/G)); empty rows/groups are skipped by a scalar
+   test instead of a prefetched compaction, and per-instance cost
+   (grid step, SMEM block fetch, write-back) is amortized G-fold.
+2. **Group-level span DMAs.**  Per instance, 3 DMAs fetch the contiguous
+   particle spans of rows [rid0+dx*ny-1, rid0+G+dx*ny] — every member
+   row's valid 3x3 neighborhood is a subset, so per-row fetches vanish
+   (the round-1 kernel issued 9 row-sized DMAs per row = 72x more).
+3. **Z-batched center tiles.**  Centers are processed Z grid cells at a
+   time: the candidate set is the union z-window [iz0-1, iz0+Z+1) of
+   each of the 9 neighbor rows (assembled once per batch), and the
+   per-pair radius mask — not per-cell bookkeeping — provides
+   correctness.  Center passes are *dynamic* fori loops over
+   ceil(cnt/CB), CB = 32 center sublanes per pass, so there is no
+   per-cell occupancy cap at all (the round-1 engine silently dropped
+   pairs beyond 32/cell).
+4. **Per-group center transposes.**  The center side of the pair tile
+   needs particles on sublanes; the group's whole contiguous particle
+   span is transposed once from the own-span slab in aligned 256-lane
+   slabs (no per-batch rolls), and passes slice it at dynamic *sublane*
+   offsets, which Mosaic allows unaligned.
 
-Outputs are written back with forward-chunked DMAs (grid instances run
-sequentially on a TPU core, and instances are ordered by ascending row,
-so a chunk overshooting into the next row is rewritten by that row's own
-instance; the tail overshoot lands in a slack region of the output).
+All window arithmetic is precomputed into small SMEM tables by
+`prepare` (pure structured XLA): per row and z-batch, the 9 candidate
+window bounds; per group, the 3 span bounds; per row, the nbatch+1
+center boundaries.  Validity masking needs no bookkeeping: the packed
+global index row makes `wlo <= gidx_j < whi`, `gidx_j != gidx_i` exact
+even on over-fetched lanes.
+
+Mosaic constraints honored (see docs/DESIGN.md): dynamic lane offsets in
+DMAs and VMEM vector loads are 128-aligned (aligned slabs + `pltpu.roll`
+with dynamic shift); outputs are (rows, 128) so DMA destinations keep a
+full lane width.  Output write-back is one chunked sweep per group;
+forward overshoot into the next group's span is rewritten by that
+group's own instance (instances run sequentially in ascending row
+order), and the global tail overshoot lands in a slack region.
 
 The engine implements the same `traverse` contract as GatherEngine
-(ops/pairs.py) and is validated against it by tests (interpret mode on
-CPU, real kernels on TPU).
+(ops/pairs.py) and is validated against it by tests/test_pallas.py
+(interpret mode on CPU, real kernels on TPU).
 """
 
 import functools
@@ -43,22 +67,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-CB = 8          # center block (sublanes per pass)
-MAX_PASSES = 4  # max center passes per cell -> supports up to 32/cell
-OUT_CHUNK = 64  # output write-back chunk (particles)
+CB = 64          # center sublanes per pass
+OUT_CHUNK = 512  # output write-back chunk (particles)
 
 
 class RowCtx(NamedTuple):
-    rows_compact: jnp.ndarray   # i32[n_rows] occupied row ids first
-    n_occ: jnp.ndarray          # i32[] number of occupied rows
-    z_table: jnp.ndarray        # i32[n_rows, 9, nz+3] window starts + z-bounds
+    win_tab: jnp.ndarray   # i32[n_rows_pad, 9, 2*nbatch] per-batch window bounds
+    span_tab: jnp.ndarray  # i32[n_groups, 3, 2] per-dx group span [lo, hi)
+    ctr_tab: jnp.ndarray   # i32[n_rows_pad, nbatch+1] center batch boundaries
     diag: dict
 
 
 class PallasEngine:
     # metric keys of RowCtx.diag (sharded runs need the structure statically)
-    diag_keys = ("max_row_len", "max_window_len", "max_cell_occupancy_engine",
-                 "row_overflow", "window_overflow", "cell_overflow")
+    diag_keys = ("max_span_len", "max_window_len", "max_row_len",
+                 "max_cell_occupancy_engine",
+                 "span_overflow", "window_overflow", "row_overflow",
+                 "group_overflow")
 
     def __init__(self, params, interpret=False):
         assert params.dim == 3, "Pallas engine is 3D; 2D uses GatherEngine"
@@ -67,17 +92,23 @@ class PallasEngine:
         nx, ny, nz = params.grid_num
         self.nx, self.ny, self.nz = nx, ny, nz
         self.n_rows = nx * ny
-        # static capacities (config-derived)
-        self.wc = int(getattr(params, "window_cap", 0) or 64)  # lanes per z-window
-        self.r_max = int(getattr(params, "row_cap", 0) or 1024)  # particles per row
+        # static capacities / schedule knobs (config-derived)
+        self.z = int(getattr(params, "z_batch", 0) or 6)
+        self.nbatch = -(-nz // self.z)
+        self.r3 = int(getattr(params, "span_cap", 0) or 4096)      # span lanes
+        self.r_max = int(getattr(params, "row_cap", 0) or 1024)    # row lanes
+        self.gcap = int(getattr(params, "group_cap", 0) or 4096)   # out rows
+        self.g = int(getattr(params, "rows_per_instance", 0) or 8)
+        self.assemble = getattr(params, "assemble", "roll") or "roll"
+        self.wu = 128 if self.assemble == "roll" else 256  # cand lanes / window
         self.h2 = params.support_radius * params.support_radius
         self.ablate = ""  # perf-diagnosis hooks, see _kernel
 
     # ------------------------------------------------------------------
     def prepare(self, x, cell_starts):
-        """Build per-row window tables from cell_starts — structured ops only."""
+        """Build per-row window/span/center tables — structured ops only."""
         nx, ny, nz = self.nx, self.ny, self.nz
-        n_rows = self.n_rows
+        n_rows, z, nbatch = self.n_rows, self.z, self.nbatch
         c = nx * ny * nz
 
         s = cell_starts[:c].reshape(n_rows, nz)
@@ -88,69 +119,94 @@ class PallasEngine:
         ix = rid // ny
         iy = rid % ny
 
-        z_rows = []
+        # static column indices of window bounds per z-batch b
+        lo_cols = [max(b * z - 1, 0) for b in range(nbatch)]
+        hi_cols = [min(b * z + z + 1, nz) for b in range(nbatch)]
+
+        win_rows = []      # per k: (n_rows, 2*nbatch)
+        span_lo = [None] * 3
+        span_hi = [None] * 3
+        span_any = [None] * 3
+        big = jnp.int32(2 ** 30)
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 delta = dx * ny + dy
                 shifted = jnp.roll(s_full, -delta, axis=0)
                 ok = ((ix + dx >= 0) & (ix + dx < nx)
                       & (iy + dy >= 0) & (iy + dy < ny))
-                # invalid neighbor row -> empty window (start == end)
-                empty = s_full[:, :1]
-                shifted = jnp.where(ok[:, None], shifted,
-                                    jnp.broadcast_to(empty, shifted.shape))
-                z_rows.append(shifted)
-        z_table = jnp.stack(z_rows, axis=1).astype(jnp.int32)  # (n_rows, 9, nz+1)
+                wlo = jnp.where(ok[:, None], shifted[:, lo_cols], 0)
+                whi = jnp.where(ok[:, None], shifted[:, hi_cols], 0)
+                win_rows.append(
+                    jnp.stack([wlo, whi], axis=2).reshape(n_rows, 2 * nbatch))
+                d = dx + 1
+                lo_k = jnp.where(ok, shifted[:, 0], big)
+                hi_k = jnp.where(ok, shifted[:, nz], 0)
+                span_lo[d] = lo_k if span_lo[d] is None \
+                    else jnp.minimum(span_lo[d], lo_k)
+                span_hi[d] = hi_k if span_hi[d] is None \
+                    else jnp.maximum(span_hi[d], hi_k)
+                span_any[d] = ok if span_any[d] is None else (span_any[d] | ok)
+        win_tab = jnp.stack(win_rows, axis=1).astype(jnp.int32)
 
-        # occupied z-range of each (center) row: cells outside it have no
-        # centers, so the kernel's z sweep can skip them entirely
-        cnts = s_full[:, 1:] - s_full[:, :-1]          # (n_rows, nz)
-        occ_z = cnts > 0
-        any_z = jnp.any(occ_z, axis=1)
-        zmin = jnp.argmax(occ_z, axis=1).astype(jnp.int32)
-        zmax = (nz - 1 - jnp.argmax(occ_z[:, ::-1], axis=1)).astype(jnp.int32)
-        zmin = jnp.where(any_z, zmin, 0)
-        zmax = jnp.where(any_z, zmax + 1, 0)           # exclusive
+        ctr_cols = [min(b * z, nz) for b in range(nbatch + 1)]
+        ctr_tab = s_full[:, ctr_cols].astype(jnp.int32)            # (n_rows,nb+1)
 
-        # fold the z-bounds into the table: extra columns [nz+1]=zmin,
-        # [nz+2]=zmax on every k (SMEM block shapes must equal full dims)
-        extra = jnp.stack([zmin, zmax], axis=1)[:, None, :]
-        extra = jnp.broadcast_to(extra, (n_rows, 9, 2)).astype(jnp.int32)
+        # pad the row axis to a multiple of G; pad rows are empty (start ==
+        # end == n) so padded groups report grp_len == 0 and are skipped
+        n_pad_rows = -(-n_rows // self.g) * self.g - n_rows
+        n_total = cell_starts[c]
+        if n_pad_rows:
+            win_tab = jnp.pad(win_tab, ((0, n_pad_rows), (0, 0), (0, 0)))
+            ctr_tab = jnp.concatenate(
+                [ctr_tab, jnp.full((n_pad_rows, nbatch + 1), n_total,
+                                   jnp.int32)], axis=0)
 
+        # group-level spans: union of member-row spans per dx (valid-aware;
+        # member spans are contiguous in rid so min/max is the union)
+        span_cols = []
+        for d in range(3):
+            lo = jnp.pad(span_lo[d], (0, n_pad_rows), constant_values=2 ** 30)
+            hi = jnp.pad(span_hi[d], (0, n_pad_rows), constant_values=0)
+            any_ = jnp.pad(span_any[d], (0, n_pad_rows), constant_values=False)
+            glo = jnp.min(lo.reshape(-1, self.g), axis=1)
+            ghi = jnp.max(hi.reshape(-1, self.g), axis=1)
+            gany = jnp.any(any_.reshape(-1, self.g), axis=1)
+            glo = jnp.where(gany, glo, 0)
+            ghi = jnp.where(gany, ghi, 0)
+            span_cols.append(jnp.stack([glo, ghi], axis=1))
+        span_tab = jnp.stack(span_cols, axis=1).astype(jnp.int32)  # (nG,3,2)
+
+        # diagnostics (binding constraints derived in the module docstring)
         row_len = s_full[:, nz] - s_full[:, 0]
-        occupied = row_len > 0
-        # compaction via stable sort (no scatter): occupied rows first
-        key = jnp.where(occupied, 0, 1).astype(jnp.int32)
-        _, rows_compact = jax.lax.sort_key_val(key, rid, is_stable=True)
-        n_occ = jnp.sum(occupied.astype(jnp.int32))
-
+        span_len = span_tab[:, :, 1] - span_tab[:, :, 0]
+        max_span = jnp.max(span_len)
+        win_len = (win_tab[:n_rows, :, 1::2] - win_tab[:n_rows, :, 0::2])
+        max_win = jnp.max(win_len)
+        max_row = jnp.max(row_len)
         cell_cnt = cell_starts[1:c + 1] - cell_starts[:c]
-        # 3-cell z-window lengths for each center cell (edges clamped)
-        lo_idx = np.maximum(np.arange(nz) - 1, 0)
-        hi_idx = np.minimum(np.arange(nz) + 2, nz)
-        win3 = s_full[:, hi_idx] - s_full[:, lo_idx]
+        grp = ctr_tab.reshape(-1, self.g, nbatch + 1)
+        grp_len = grp[:, -1, nbatch] - grp[:, 0, 0]
         diag = {
-            "max_row_len": jnp.max(row_len),
-            "max_window_len": jnp.max(win3),
+            "max_span_len": max_span,
+            "max_window_len": max_win,
+            "max_row_len": max_row,
             "max_cell_occupancy_engine": jnp.max(cell_cnt),
-            # binding constraint: window offsets must stay un-clamped and
-            # the 256-lane roll must not wrap (see _kernel); derivation in
-            # docs/DESIGN.md
-            # binding constraint is the 256-lane centers slab: loc_c =
-            # cs - base[4] <= row_len + 128 must stay <= r_max - 256, and
-            # window slabs need row_len + 128 <= r_max - 256 as well
-            "row_overflow": jnp.max(row_len) > self.r_max - 384,
-            "window_overflow": jnp.max(win3) > self.wc,
-            "cell_overflow": jnp.max(cell_cnt) > CB * MAX_PASSES,
+            # group span slabs + 256-lane aligned window reads must fit in R3
+            "span_overflow": max_span > self.r3 - 384,
+            # assembled window segment is WU lanes (roll) / 256-127 (slab)
+            "window_overflow": max_win > (self.wu if self.assemble == "roll"
+                                          else 129),
+            # informational (no kernel constraint since the group-level
+            # center transpose; binding center capacity is group_cap)
+            "row_overflow": max_row > self.r_max,
+            "group_overflow": jnp.max(grp_len) > self.gcap,
         }
-        z_table = jnp.concatenate([z_table, extra], axis=2)  # (n_rows,9,nz+3)
-        return RowCtx(rows_compact=rows_compact, n_occ=n_occ,
-                      z_table=z_table, diag=diag)
+        return RowCtx(win_tab=win_tab, span_tab=span_tab, ctr_tab=ctr_tab,
+                      diag=diag)
 
     # ------------------------------------------------------------------
     def traverse(self, ctx: RowCtx, x, fields: Dict[str, jnp.ndarray],
                  term_fn, out_specs: Dict[str, str]):
-        params = self.params
         n = x.shape[0]
         field_names = sorted(fields.keys())
         gidx = jnp.arange(n, dtype=jnp.float32)
@@ -166,53 +222,47 @@ class PallasEngine:
             cols.append(jnp.zeros((n,), jnp.float32))
 
         lanes = jnp.stack(cols, axis=0)    # (F, N) candidate side
-        # slack lanes so window DMAs [base, base + r_max) never need
-        # clamping near the array tail (base <= start <= n always); slack
-        # gidx = -1 fails the wlo <= gidx mask on every window
-        r_max_s = min(self.r_max, n)
-        lanes = jnp.pad(lanes, ((0, 0), (0, r_max_s + 256)))
+        # slack lanes so span DMAs [base, base + R3) never need clamping
+        # near the array tail (base <= n always); slack gidx = -1 fails the
+        # wlo <= gidx mask on every window
+        lanes = jnp.pad(lanes, ((0, 0), (0, self.r3 + 128)))
         lanes = lanes.at[3, n:].set(-1.0)
 
         out_names = sorted(out_specs.keys())
         out_cols = []
         for o in out_names:
             out_cols.append((o, 3 if out_specs[o] == "vec" else 1))
-        n_out = sum(c for _, c in out_cols)
-        n_out_pad = 128                    # lane-width of the output buffers
 
-        r_max = min(self.r_max, n)
+        n_groups = (self.n_rows + self.g - 1) // self.g
         kernel = functools.partial(
             self._kernel, term_fn=term_fn, name_to_idx=name_to_idx,
-            out_cols=out_cols, f_pad=f_pad, n_out_pad=n_out_pad, n=n,
-            r_max=r_max)
+            out_cols=out_cols, f_pad=f_pad)
 
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,   # rows_compact, n_occ
-            grid=(self.n_rows,),
-            in_specs=[
-                pl.BlockSpec((1, 9, self.nz + 3),
-                             lambda i, rows, nocc: (rows[i], 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),   # lanes (HBM)
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((9, f_pad, r_max), jnp.float32),        # windows
-                pltpu.VMEM((r_max, 128), jnp.float32),             # out acc
-                pltpu.VMEM((f_pad + 1, 9 * self.wc), jnp.float32), # cand tile
-                pltpu.SemaphoreType.DMA((12,)),
-            ],
-        )
-
+        nb = self.nbatch
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n + r_max, n_out_pad),
-                                           jnp.float32),
-            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n + OUT_CHUNK, 128), jnp.float32),
+            grid=(n_groups,),
+            in_specs=[
+                pl.BlockSpec((self.g, 9, 2 * nb), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3, 2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((self.g, nb + 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),   # lanes (HBM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((3, f_pad, self.r3), jnp.float32),      # dx spans
+                pltpu.VMEM((f_pad + 1, 9 * self.wu), jnp.float32),  # cand tile
+                pltpu.VMEM((self.gcap + 256, f_pad), jnp.float32),  # centers
+                pltpu.VMEM((self.gcap + OUT_CHUNK, 128), jnp.float32),  # out
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(ctx.rows_compact, jnp.full((1,), ctx.n_occ, jnp.int32),
-          ctx.z_table, lanes)
+        )(ctx.win_tab, ctx.span_tab, ctx.ctr_tab, lanes)
 
         outs = {}
         pos = 0
@@ -225,163 +275,166 @@ class PallasEngine:
         return outs
 
     # ------------------------------------------------------------------
-    def _kernel(self, rows_ref, nocc_ref, z_ref, lanes_hbm,
-                out_hbm, win_scr, out_scr, cand_scr,
-                sems, *, term_fn, name_to_idx, out_cols, f_pad, n_out_pad, n,
-                r_max):
-        wc = self.wc
-        nz = self.nz
-        h2 = self.h2
-        i = pl.program_id(0)
+    def _kernel(self, win_ref, span_ref, ctr_ref, lanes_hbm, out_hbm,
+                win_scr, cand_scr, ctr_scr, out_scr, sems,
+                *, term_fn, name_to_idx, out_cols, f_pad):
+        G, Z, nb, wu, r3, h2 = self.g, self.z, self.nbatch, self.wu, \
+            self.r3, self.h2
+        roll_mode = self.assemble == "roll"
+        n_ctr = self.gcap + 256
 
-        @pl.when(i < nocc_ref[0])
+        grp_lo = ctr_ref[0, 0]
+        grp_hi = ctr_ref[G - 1, nb]
+        grp_len = grp_hi - grp_lo
+
+        bases = []
+        for dx in range(3):
+            lo = span_ref[0, dx, 0]
+            bases.append(pl.multiple_of((lo // 128) * 128, 128))
+
+        @pl.when(grp_len > 0)
         def _run():
-            row_start = z_ref[0, 4, 0]
-            row_end = z_ref[0, 4, nz]
-
-            # ---- DMA all 9 candidate windows ----
-            # dynamic lane offsets in DMAs must be 128-aligned (Mosaic).
-            # The lanes array carries r_max + 256 slack lanes, so
-            # [bk, bk + r_max) is always in bounds without clamping.
-            base = []
-            for k in range(9):
-                bk = z_ref[0, k, 0]
-                bk = pl.multiple_of((bk // 128) * 128, 128)
-                base.append(bk)
+            for dx in range(3):
                 pltpu.make_async_copy(
-                    lanes_hbm.at[:, pl.ds(bk, r_max)],
-                    win_scr.at[k], sems.at[k]).start()
-            cbase = pl.multiple_of((row_start // 128) * 128, 128)
-            for k in range(9):
+                    lanes_hbm.at[:, pl.ds(bases[dx], r3)],
+                    win_scr.at[dx], sems.at[dx]).start()
+            for dx in range(3):
                 pltpu.make_async_copy(
-                    lanes_hbm.at[:, pl.ds(base[k], r_max)],
-                    win_scr.at[k], sems.at[k]).wait()
+                    lanes_hbm.at[:, pl.ds(bases[dx], r3)],
+                    win_scr.at[dx], sems.at[dx]).wait()
 
-            out_scr[...] = jnp.zeros((r_max, 128), jnp.float32)
+            # ---- transpose the group's centers once: aligned 256-lane
+            # slabs of the own span [grp_lo, grp_hi) -> (sublanes, F) ----
+            loc_g = grp_lo - bases[1]
+            la_g = jnp.minimum((loc_g // 128) * 128, jnp.int32(r3 - 256))
+            la_g = pl.multiple_of(la_g, 128)
+            delta_g = loc_g - la_g
 
-            def z_body(iz, _):
-                cs = z_ref[0, 4, iz]
-                ce = z_ref[0, 4, iz + 1]
-                cnt = ce - cs
+            def t_body(sb, _):
+                off = jnp.minimum(la_g + sb * 256, jnp.int32(r3 - 256))
+                off = pl.multiple_of(off, 128)
+                dst = jnp.minimum(sb * 256, jnp.int32(n_ctr - 256))
+                ctr_scr[pl.ds(dst, 256), :] = jnp.transpose(
+                    win_scr[1, :, pl.ds(off, 256)])
+                return 0
 
-                if self.ablate == "emptyz":
-                    return 0
+            if self.ablate != "notranspose":
+                jax.lax.fori_loop(
+                    0, pl.cdiv(delta_g + grp_len, 256), t_body, 0)
 
-                @pl.when(cnt > 0)
-                def _cell():
-                    # ---- centers from the row's own window (k=4): roll the
-                    # aligned slab so this cell starts at lane 0, transpose
-                    loc_c = jnp.minimum(cs - base[4],
-                                        jnp.int32(r_max - 256))
-                    loc_ca = jnp.minimum((loc_c // 128) * 128,
-                                         jnp.int32(r_max - 256))
-                    loc_ca = pl.multiple_of(loc_ca, 128)
-                    cslab = win_scr[4, :, pl.ds(loc_ca, 256)]
-                    cslab = pltpu.roll(cslab, 256 - (loc_c - loc_ca), axis=1)
-                    centers_t = jnp.transpose(cslab[:, :CB * MAX_PASSES])
-                    # (32, F): rows beyond cnt belong to later cells and are
-                    # rewritten by their own passes
+            def row_body(g, _):
+                row_lo = ctr_ref[g, 0]
+                row_hi = ctr_ref[g, nb]
+                row_len = row_hi - row_lo
 
-                    # ---- assemble candidate tile (F+1, 9*WC) ----
-                    # VMEM vector loads need 128-aligned lane offsets, so
-                    # read an aligned 256-lane slab and rotate the window
-                    # to the front (delta + wc <= 256 holds by the clamp).
-                    for k in range(9):
-                        if self.ablate == "noassemble":
-                            break
-                        wlo = z_ref[0, k, jnp.maximum(iz - 1, 0)]
-                        whi = z_ref[0, k, jnp.minimum(iz + 2, nz)]
-                        loc = jnp.minimum(wlo - base[k],
-                                          jnp.int32(r_max - wc))
-                        loc = jnp.maximum(loc, 0)
-                        if self.ablate == "noslab":
-                            seg = win_scr[k, :, 0:wc]
-                        else:
-                            loc_a = jnp.minimum((loc // 128) * 128,
-                                                jnp.int32(r_max - 256))
-                            loc_a = pl.multiple_of(loc_a, 128)
-                            delta = loc - loc_a
-                            slab = win_scr[k, :, pl.ds(loc_a, 256)]  # (F,256)
-                            if self.ablate != "noroll":
-                                slab = pltpu.roll(slab, 256 - delta, axis=1)
-                            seg = slab[:, :wc]                       # (F, WC)
-                        cand_scr[0:f_pad, k * wc:(k + 1) * wc] = seg
-                        g = seg[3:4, :]                          # gidx row
-                        ok = ((g >= wlo.astype(jnp.float32))
-                              & (g < whi.astype(jnp.float32)))
-                        cand_scr[f_pad:f_pad + 1, k * wc:(k + 1) * wc] = \
-                            ok.astype(jnp.float32)
+                @pl.when(row_len > 0)
+                def _row():
+                    def batch_body(b, _):
+                        cs = ctr_ref[g, b]
+                        ce = ctr_ref[g, b + 1]
+                        cnt = ce - cs
 
-                    cand = cand_scr[...]
-                    valid_j = cand[f_pad:f_pad + 1, :] > 0.5   # (1, 9WC)
+                        @pl.when(cnt > 0)
+                        def _batch():
+                            if self.ablate == "emptybatch":
+                                return
+                            # ---- assemble candidate tile (F+1, 9*WU) ----
+                            for k in range(9):
+                                if self.ablate == "noassemble":
+                                    break
+                                dx = k // 3
+                                wlo = win_ref[g, k, 2 * b]
+                                whi = win_ref[g, k, 2 * b + 1]
+                                loc = wlo - bases[dx]
+                                loc = jnp.clip(loc, 0, jnp.int32(r3 - 256))
+                                la = jnp.minimum((loc // 128) * 128,
+                                                 jnp.int32(r3 - 256))
+                                la = pl.multiple_of(la, 128)
+                                slab = win_scr[dx, :, pl.ds(la, 256)]
+                                if roll_mode:
+                                    slab = pltpu.roll(slab, 256 - (loc - la),
+                                                      axis=1)
+                                seg = slab[:, :wu]
+                                cand_scr[0:f_pad, k * wu:(k + 1) * wu] = seg
+                                gi = seg[3:4, :]
+                                ok = ((gi >= wlo.astype(jnp.float32))
+                                      & (gi < whi.astype(jnp.float32)))
+                                cand_scr[f_pad:f_pad + 1,
+                                         k * wu:(k + 1) * wu] = \
+                                    ok.astype(jnp.float32)
 
-                    def do_pass(ps):
-                        off = cs - cbase + ps * CB
-                        off = jnp.minimum(off, jnp.int32(r_max - CB))
-                        cen = centers_t[ps * CB:(ps + 1) * CB, :]  # (CB, F)
+                            cand = cand_scr[...]
+                            valid_j = cand[f_pad:f_pad + 1, :] > 0.5
+                            out0 = cs - grp_lo
+                            ctr0 = delta_g + (cs - grp_lo)
 
-                        fi = {k_: cen[:, v:v + 1]
-                              for k_, v in name_to_idx.items()}
-                        fj = {k_: cand[v:v + 1, :]
-                              for k_, v in name_to_idx.items()}
-                        rvec = (fi["x0"] - fj["x0"],
-                                fi["x1"] - fj["x1"],
-                                fi["x2"] - fj["x2"])
-                        d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
-                              + rvec[2] * rvec[2])
-                        rn = jnp.sqrt(d2)
-                        mask = (valid_j & (d2 < h2)
-                                & (fi["gidx"] != fj["gidx"]))   # (CB, 9WC)
+                            def do_pass(p, _):
+                                coff = jnp.minimum(ctr0 + p * CB,
+                                                   jnp.int32(n_ctr - CB))
+                                cen = ctr_scr[pl.ds(coff, CB), :]
+                                fi = {k_: cen[:, v:v + 1]
+                                      for k_, v in name_to_idx.items()}
+                                fj = {k_: cand[v:v + 1, :]
+                                      for k_, v in name_to_idx.items()}
+                                rvec = (fi["x0"] - fj["x0"],
+                                        fi["x1"] - fj["x1"],
+                                        fi["x2"] - fj["x2"])
+                                d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
+                                      + rvec[2] * rvec[2])
+                                rn = jnp.sqrt(d2)
+                                mask = (valid_j & (d2 < h2)
+                                        & (fi["gidx"] != fj["gidx"]))
 
-                        contribs = term_fn(fi, fj, rvec, rn)
-                        pieces = []
-                        for o, ncomp in out_cols:
-                            c = contribs[o]
-                            comps = c if ncomp == 3 else (c,)
-                            for comp in comps:
-                                comp = jnp.broadcast_to(comp, mask.shape)
-                                pieces.append(jnp.sum(
-                                    jnp.where(mask, comp, 0.0),
-                                    axis=1, keepdims=True))
-                        res = jnp.concatenate(pieces, axis=1)   # (CB, n_out)
-                        pad = 128 - res.shape[1]
-                        if pad:
-                            res = jnp.concatenate(
-                                [res, jnp.zeros((CB, pad), jnp.float32)],
-                                axis=1)
-                        out_scr[pl.ds(off, CB), :] = res
+                                contribs = term_fn(fi, fj, rvec, rn)
+                                pieces = []
+                                for o, ncomp in out_cols:
+                                    cc = contribs[o]
+                                    comps = cc if ncomp == 3 else (cc,)
+                                    for comp in comps:
+                                        comp = jnp.broadcast_to(
+                                            comp, mask.shape)
+                                        pieces.append(jnp.sum(
+                                            jnp.where(mask, comp, 0.0),
+                                            axis=1, keepdims=True))
+                                res = jnp.concatenate(pieces, axis=1)
+                                pad = 128 - res.shape[1]
+                                if pad:
+                                    res = jnp.concatenate(
+                                        [res,
+                                         jnp.zeros((CB, pad), jnp.float32)],
+                                        axis=1)
+                                off = out0 + p * CB
+                                off = jnp.minimum(
+                                    off,
+                                    jnp.int32(self.gcap + OUT_CHUNK - CB))
+                                out_scr[pl.ds(off, CB), :] = res
+                                return 0
 
-                    # static predicated passes: the common case (<= CB
-                    # particles per cell) pays for exactly one
-                    do_pass(0)
-                    n_passes = 1 if self.ablate == "onepass" else MAX_PASSES
-                    for ps in range(1, n_passes):
-                        @pl.when(cnt > ps * CB)
-                        def _more(ps=ps):
-                            do_pass(ps)
+                            jax.lax.fori_loop(0, pl.cdiv(cnt, CB),
+                                              do_pass, 0)
+
+                        return 0
+
+                    jax.lax.fori_loop(0, nb, batch_body, 0)
 
                 return 0
 
-            jax.lax.fori_loop(z_ref[0, 0, nz + 1], z_ref[0, 0, nz + 2],
-                              z_body, 0)
+            jax.lax.fori_loop(0, G, row_body, 0)
 
-            # ---- chunked write-back (forward overshoot rewritten later) ----
-            row_len = row_end - row_start
-            n_chunks = pl.cdiv(row_len, OUT_CHUNK)
-
+            # ---- one chunked write-back sweep per group ----
             if self.ablate == "nowriteback":
                 return
 
             def out_body(c, _):
-                src_off = (row_start - cbase) + c * OUT_CHUNK
+                src = c * OUT_CHUNK
                 pltpu.make_async_copy(
-                    out_scr.at[pl.ds(src_off, OUT_CHUNK), :],
-                    out_hbm.at[pl.ds(row_start + c * OUT_CHUNK, OUT_CHUNK), :],
-                    sems.at[10]).start()
+                    out_scr.at[pl.ds(src, OUT_CHUNK), :],
+                    out_hbm.at[pl.ds(grp_lo + src, OUT_CHUNK), :],
+                    sems.at[3]).start()
                 pltpu.make_async_copy(
-                    out_scr.at[pl.ds(src_off, OUT_CHUNK), :],
-                    out_hbm.at[pl.ds(row_start + c * OUT_CHUNK, OUT_CHUNK), :],
-                    sems.at[10]).wait()
+                    out_scr.at[pl.ds(src, OUT_CHUNK), :],
+                    out_hbm.at[pl.ds(grp_lo + src, OUT_CHUNK), :],
+                    sems.at[3]).wait()
                 return 0
 
-            jax.lax.fori_loop(0, n_chunks, out_body, 0)
+            jax.lax.fori_loop(0, pl.cdiv(grp_len, OUT_CHUNK), out_body, 0)

@@ -111,6 +111,11 @@ class SimParams:
     backend: str = "auto"         # pair engine: "auto" | "gather" | "pallas"
     window_cap: int = 64          # pallas: lanes per 3-cell z-window
     row_cap: int = 1024           # pallas: max particles per grid row
+    z_batch: int = 6              # pallas: z-cells per center tile
+    span_cap: int = 4096          # pallas: lanes per (G+2)-row y-span DMA
+    group_cap: int = 4096         # pallas: particles per row-group (output acc)
+    rows_per_instance: int = 8    # pallas: grid rows per kernel instance
+    assemble: str = "roll"        # pallas: window assembly ("roll" | "slab")
     # spatial sharding (parallel/sharding.py): local extended grid override
     grid_num_override: tuple = ()
     axis_name: str = ""           # mesh axis for cross-device reductions
