@@ -68,6 +68,12 @@ class WCSPHSolver(SPHBase):
         # ghost copies (sharded runs) computed the same elementwise values
         # from their synced density — no extra hop needed
 
+        # reaction output only exists when some rigid is dynamic — for
+        # static-rigid scenes the traversal math and output lanes for the
+        # two-way term are dead weight (reference short-circuits the same
+        # way: is_dynamic_rigid never true, WCSPH.py:67)
+        want_react = bool(params.dynamic_rigid_ids)
+
         def term(fi, fj, rvec, rn):
             gradw_s = cubic_kernel_derivative_scalar(rn, h, dim)
             fluid_j = fj["material"] == MATERIAL_FLUID
@@ -101,30 +107,36 @@ class WCSPHSolver(SPHBase):
                 fluid_j | solid_j,
                 -rho0 * fj["m_V"] * (dpi + dpj) * gradw_s, 0.0)
 
-            # reaction on dynamic-rigid centers (WCSPH.py:67-68 as gather)
-            dpi_k = fj["pressure"] / (fj["density"] * fj["density"]) \
-                + fj["pressure"] / (rho0 * rho0)
-            react_coef = jnp.where(
-                fluid_j,
-                -(rho0 * fi["m_V"] * dpi_k) * (rho0 / fi["density"])
-                * gradw_s,
-                0.0)
-            return {"a": vscale(st_coef + visc_coef + press_coef, rvec),
-                    "react": vscale(react_coef, rvec)}
+            res = {"a": vscale(st_coef + visc_coef + press_coef, rvec)}
+            if want_react:
+                # reaction on dynamic-rigid centers (WCSPH.py:67-68 as gather)
+                dpi_k = fj["pressure"] / (fj["density"] * fj["density"]) \
+                    + fj["pressure"] / (rho0 * rho0)
+                react_coef = jnp.where(
+                    fluid_j,
+                    -(rho0 * fi["m_V"] * dpi_k) * (rho0 / fi["density"])
+                    * gradw_s,
+                    0.0)
+                res["react"] = vscale(react_coef, rvec)
+            return res
 
+        specs = {"a": "vec"}
+        if want_react:
+            specs["react"] = "vec"
         out = self.engine.traverse(
             ectx(ctx), p.x,
             {"material": p.material, "m": p.m, "m_V": p.m_V,
              "density": p.density, "density_nc": density_nc,
              "pressure": p.pressure,
              "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
-            term, {"a": "vec", "react": "vec"})
+            term, specs)
         a_pair = jnp.stack(out["a"], axis=1)
-        a_react = jnp.stack(out["react"], axis=1)
 
         acc = self.g[None, :] + jnp.where(p.is_fluid()[:, None], a_pair, 0.0)
-        acc = jnp.where(p.is_dynamic_rigid()[:, None],
-                        self.g[None, :] + a_react, acc)
+        if want_react:
+            a_react = jnp.stack(out["react"], axis=1)
+            acc = jnp.where(p.is_dynamic_rigid()[:, None],
+                            self.g[None, :] + a_react, acc)
         acc = jnp.where(p.is_static_rigid()[:, None], 0.0, acc)
         acc = jnp.where((p.material == -1)[:, None], 0.0, acc)
         return p._replace(acc=acc)

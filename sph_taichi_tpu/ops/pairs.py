@@ -35,6 +35,10 @@ Term-function contract (shared by both engines):
 - Contributions are evaluated on every candidate slot and masked by the
   engine (radius / self / validity) with jnp.where — terms may divide by
   garbage on invalid slots.
+- Output values are defined for REAL particles only: padding particles
+  (material == MATERIAL_PAD, parked in the overflow cell) are never
+  traversal centers, and the Pallas engine leaves their output rows
+  unwritten.  Callers must mask results by material — every solver does.
 """
 
 from typing import Callable, Dict, NamedTuple

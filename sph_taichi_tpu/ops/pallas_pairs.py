@@ -193,7 +193,10 @@ class PallasEngine:
             "max_cell_occupancy_engine": jnp.max(cell_cnt),
             # group span slabs + 256-lane aligned window reads must fit in R3
             "span_overflow": max_span > self.r3 - 384,
-            # assembled window segment is WU lanes (roll) / 256-127 (slab)
+            # informational since window sheets: batches whose windows
+            # exceed one tile are processed exactly, sheet by sheet; the
+            # flag now marks "multi-sheet batches occurred" (a perf signal,
+            # not a correctness loss)
             "window_overflow": max_win > (self.wu if self.assemble == "roll"
                                           else 129),
             # informational (no kernel constraint since the group-level
@@ -338,80 +341,109 @@ class PallasEngine:
                         def _batch():
                             if self.ablate == "emptybatch":
                                 return
-                            # ---- assemble candidate tile (F+1, 9*WU) ----
-                            for k in range(9):
-                                if self.ablate == "noassemble":
-                                    break
-                                dx = k // 3
-                                wlo = win_ref[g, k, 2 * b]
-                                whi = win_ref[g, k, 2 * b + 1]
-                                loc = wlo - bases[dx]
-                                loc = jnp.clip(loc, 0, jnp.int32(r3 - 256))
-                                la = jnp.minimum((loc // 128) * 128,
-                                                 jnp.int32(r3 - 256))
-                                la = pl.multiple_of(la, 128)
-                                slab = win_scr[dx, :, pl.ds(la, 256)]
-                                if roll_mode:
-                                    slab = pltpu.roll(slab, 256 - (loc - la),
-                                                      axis=1)
-                                seg = slab[:, :wu]
-                                cand_scr[0:f_pad, k * wu:(k + 1) * wu] = seg
-                                gi = seg[3:4, :]
-                                ok = ((gi >= wlo.astype(jnp.float32))
-                                      & (gi < whi.astype(jnp.float32)))
-                                cand_scr[f_pad:f_pad + 1,
-                                         k * wu:(k + 1) * wu] = \
-                                    ok.astype(jnp.float32)
-
-                            cand = cand_scr[...]
-                            valid_j = cand[f_pad:f_pad + 1, :] > 0.5
+                            # sheet stride: positions each assembly pass is
+                            # guaranteed to cover per window (roll mode gets
+                            # the full WU lanes; slab mode loses up to 127
+                            # lanes to alignment)
+                            stride = wu if roll_mode else 129
                             out0 = cs - grp_lo
                             ctr0 = delta_g + (cs - grp_lo)
 
-                            def do_pass(p, _):
-                                coff = jnp.minimum(ctr0 + p * CB,
-                                                   jnp.int32(n_ctr - CB))
-                                cen = ctr_scr[pl.ds(coff, CB), :]
-                                fi = {k_: cen[:, v:v + 1]
-                                      for k_, v in name_to_idx.items()}
-                                fj = {k_: cand[v:v + 1, :]
-                                      for k_, v in name_to_idx.items()}
-                                rvec = (fi["x0"] - fj["x0"],
-                                        fi["x1"] - fj["x1"],
-                                        fi["x2"] - fj["x2"])
-                                d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
-                                      + rvec[2] * rvec[2])
-                                rn = jnp.sqrt(d2)
-                                mask = (valid_j & (d2 < h2)
-                                        & (fi["gidx"] != fj["gidx"]))
+                            # widest window of this batch decides how many
+                            # sheets are needed; overflowing windows are
+                            # processed exactly, sheet by sheet (no silent
+                            # pair drops), the common case pays for one
+                            mx = jnp.int32(1)
+                            for k in range(9):
+                                mx = jnp.maximum(
+                                    mx, win_ref[g, k, 2 * b + 1]
+                                    - win_ref[g, k, 2 * b])
 
-                                contribs = term_fn(fi, fj, rvec, rn)
-                                pieces = []
-                                for o, ncomp in out_cols:
-                                    cc = contribs[o]
-                                    comps = cc if ncomp == 3 else (cc,)
-                                    for comp in comps:
-                                        comp = jnp.broadcast_to(
-                                            comp, mask.shape)
-                                        pieces.append(jnp.sum(
-                                            jnp.where(mask, comp, 0.0),
-                                            axis=1, keepdims=True))
-                                res = jnp.concatenate(pieces, axis=1)
-                                pad = 128 - res.shape[1]
-                                if pad:
-                                    res = jnp.concatenate(
-                                        [res,
-                                         jnp.zeros((CB, pad), jnp.float32)],
-                                        axis=1)
-                                off = out0 + p * CB
-                                off = jnp.minimum(
-                                    off,
-                                    jnp.int32(self.gcap + OUT_CHUNK - CB))
-                                out_scr[pl.ds(off, CB), :] = res
+                            def sheet_body(sh, _):
+                                # ---- assemble candidate tile (F+1, 9*WU) --
+                                for k in range(9):
+                                    if self.ablate == "noassemble":
+                                        break
+                                    dx = k // 3
+                                    wlo = win_ref[g, k, 2 * b]
+                                    whi = win_ref[g, k, 2 * b + 1]
+                                    ws_lo = wlo + sh * stride
+                                    ws_hi = jnp.minimum(ws_lo + stride, whi)
+                                    loc = ws_lo - bases[dx]
+                                    loc = jnp.clip(loc, 0,
+                                                   jnp.int32(r3 - 256))
+                                    la = jnp.minimum((loc // 128) * 128,
+                                                     jnp.int32(r3 - 256))
+                                    la = pl.multiple_of(la, 128)
+                                    slab = win_scr[dx, :, pl.ds(la, 256)]
+                                    if roll_mode:
+                                        slab = pltpu.roll(
+                                            slab, 256 - (loc - la), axis=1)
+                                    seg = slab[:, :wu]
+                                    cand_scr[0:f_pad,
+                                             k * wu:(k + 1) * wu] = seg
+                                    gi = seg[3:4, :]
+                                    ok = ((gi >= ws_lo.astype(jnp.float32))
+                                          & (gi < ws_hi.astype(jnp.float32)))
+                                    cand_scr[f_pad:f_pad + 1,
+                                             k * wu:(k + 1) * wu] = \
+                                        ok.astype(jnp.float32)
+
+                                cand = cand_scr[...]
+                                valid_j = cand[f_pad:f_pad + 1, :] > 0.5
+
+                                def do_pass(p, _):
+                                    coff = jnp.minimum(ctr0 + p * CB,
+                                                       jnp.int32(n_ctr - CB))
+                                    cen = ctr_scr[pl.ds(coff, CB), :]
+                                    fi = {k_: cen[:, v:v + 1]
+                                          for k_, v in name_to_idx.items()}
+                                    fj = {k_: cand[v:v + 1, :]
+                                          for k_, v in name_to_idx.items()}
+                                    rvec = (fi["x0"] - fj["x0"],
+                                            fi["x1"] - fj["x1"],
+                                            fi["x2"] - fj["x2"])
+                                    d2 = (rvec[0] * rvec[0]
+                                          + rvec[1] * rvec[1]
+                                          + rvec[2] * rvec[2])
+                                    rn = jnp.sqrt(d2)
+                                    mask = (valid_j & (d2 < h2)
+                                            & (fi["gidx"] != fj["gidx"]))
+
+                                    contribs = term_fn(fi, fj, rvec, rn)
+                                    pieces = []
+                                    for o, ncomp in out_cols:
+                                        cc = contribs[o]
+                                        comps = cc if ncomp == 3 else (cc,)
+                                        for comp in comps:
+                                            comp = jnp.broadcast_to(
+                                                comp, mask.shape)
+                                            pieces.append(jnp.sum(
+                                                jnp.where(mask, comp, 0.0),
+                                                axis=1, keepdims=True))
+                                    res = jnp.concatenate(pieces, axis=1)
+                                    pad = 128 - res.shape[1]
+                                    if pad:
+                                        res = jnp.concatenate(
+                                            [res,
+                                             jnp.zeros((CB, pad),
+                                                       jnp.float32)],
+                                            axis=1)
+                                    off = out0 + p * CB
+                                    off = jnp.minimum(
+                                        off,
+                                        jnp.int32(self.gcap + OUT_CHUNK - CB))
+                                    cur = out_scr[pl.ds(off, CB), :]
+                                    out_scr[pl.ds(off, CB), :] = jnp.where(
+                                        sh == 0, res, cur + res)
+                                    return 0
+
+                                jax.lax.fori_loop(0, pl.cdiv(cnt, CB),
+                                                  do_pass, 0)
                                 return 0
 
-                            jax.lax.fori_loop(0, pl.cdiv(cnt, CB),
-                                              do_pass, 0)
+                            jax.lax.fori_loop(0, pl.cdiv(mx, stride),
+                                              sheet_body, 0)
 
                         return 0
 

@@ -130,3 +130,80 @@ def test_boundary_volume_equivalence_with_rigid_block():
     sg = _run(0, "gather", 2, scene=d)
     sp = _run(0, "pallas_interpret", 2, scene=d)
     _assert_states_close(sg, sp)
+
+
+def test_extreme_compression_matches_oracle(rng):
+    """~200 particles forced into ONE grid cell: candidate windows far
+    exceed one 128-lane tile (multi-sheet assembly) and center counts far
+    exceed one pass.  The Pallas engine must match the brute-force-backed
+    gather oracle exactly — capacity overflow may cost passes, never
+    pairs.  (VERDICT round 1, item 4.)"""
+    import dataclasses as _dc
+    import jax.numpy as _jnp
+    from sph_taichi_tpu import SimConfig as _SC, build_scene as _bs
+    from sph_taichi_tpu.models.base import bin_and_sort as _bas
+    from sph_taichi_tpu.ops.pairs import make_engine as _me
+    from sph_taichi_tpu.ops.kernels import cubic_kernel as _ck
+
+    d = small_scene_dict(method=0)
+    cfg = _SC(config_dict=d)
+    params, particles, _ = _bs(cfg, neighbor_cap=256, cell_cap=256)
+    x = np.asarray(particles.x).copy()
+    real = np.asarray(particles.material) != -1
+    n = int(real.sum())
+    cell = params.grid_size
+    c0 = np.array([4, 4, 4]) * cell + 0.05 * cell
+    m = min(n, 200)
+    x[:m] = (c0 + rng.uniform(0, 0.9 * cell, size=(m, 3))).astype(np.float32)
+    particles = particles._replace(x=_jnp.asarray(x))
+
+    h = params.support_radius
+    outs = {}
+    for backend in ("gather", "pallas_interpret"):
+        p2 = _dc.replace(params, backend=backend)
+        eng = _me(p2)
+        ps, ctx, diag = _bas(particles, p2, eng)
+
+        def term(fi, fj, rvec, rn):
+            return {"delta": fj["m_V"] * _ck(rn, h, p2.dim)}
+
+        out = eng.traverse(ctx, ps.x, {"m_V": ps.m_V}, term,
+                           {"delta": "scalar"})
+        # engine contract: output is defined for real particles only
+        # (padding rows are never traversal centers); compare real ones,
+        # sorted back to a canonical order
+        real_s = np.asarray(ps.material) != -1
+        xs = np.asarray(ps.x)[real_s]
+        order = np.argsort(xs[:, 0] * 1e6 + xs[:, 1] * 1e3 + xs[:, 2],
+                           kind="stable")
+        outs[backend] = np.asarray(out["delta"])[real_s][order]
+        if backend == "pallas_interpret":
+            assert bool(diag["window_overflow"]), \
+                "test must actually exercise the multi-sheet path"
+            assert int(diag["max_cell_occupancy_engine"]) >= 150
+    np.testing.assert_allclose(outs["pallas_interpret"], outs["gather"],
+                               rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("scene", ["dragon_bath.json",
+                                   "dragon_bath_dfsph.json",
+                                   "armadillo_bath_dynamic.json"])
+def test_bundled_scene_capacities(scene):
+    """The bundled reference scenes start within every engine capacity
+    (span/group caps; windows may sheet but start single-sheet), so no
+    perf cliff or clamp fires at t=0.  (VERDICT round 1, item 4.)"""
+    import dataclasses as _dc
+    from sph_taichi_tpu import SimConfig as _SC, build_scene as _bs
+    from sph_taichi_tpu.models.base import bin_and_sort as _bas
+    from sph_taichi_tpu.ops.pairs import make_engine as _me
+
+    cfg = _SC(f"data/scenes/{scene}")
+    params, particles, _ = _bs(cfg)
+    p2 = _dc.replace(params, backend="pallas_interpret")
+    eng = _me(p2)
+    _, ctx, _ = _bas(particles, p2, eng)
+    diag = {k: np.asarray(v) for k, v in ctx.diag.items()}
+    assert not bool(diag["span_overflow"]), diag
+    assert not bool(diag["group_overflow"]), diag
+    assert not bool(diag["window_overflow"]), diag
+    assert not bool(diag["row_overflow"]), diag
