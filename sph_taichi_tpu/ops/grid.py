@@ -63,7 +63,23 @@ def sort_by_cell(particles, cell_ids):
     vectorized).  The obvious argsort-then-gather alternative is ~100x
     slower on TPU, where irregular gathers serialize.
     Returns (sorted_particles, sorted_cell_ids).
+
+    DFSPH transients (dfsph_factor, density_adv) do NOT ride the sort:
+    both are recomputed from scratch at the top of every substep before
+    any read (models/dfsph.py density_and_factor / the solvers), so
+    permuting them carries no information — excluding them makes the
+    DFSPH sort identical to the WCSPH one (22 operands), which also
+    sidesteps a remote-compile pathology observed only with the 24-operand
+    variant at dragon scale (round-1 known issue).
     """
+    transients = {}
+    for name in ("dfsph_factor", "density_adv"):
+        a = getattr(particles, name, None)
+        if a is not None:
+            transients[name] = jnp.zeros_like(a)
+    if transients:
+        particles = particles._replace(
+            **{k: None for k in transients})
     leaves, treedef = jax.tree_util.tree_flatten(particles)
     operands = [cell_ids]
     layout = []  # (n_components,) per leaf
@@ -88,6 +104,8 @@ def sort_by_cell(particles, cell_ids):
             sorted_leaves.append(jnp.stack(out[pos:pos + ncomp], axis=1))
             pos += ncomp
     sorted_particles = jax.tree_util.tree_unflatten(treedef, sorted_leaves)
+    if transients:
+        sorted_particles = sorted_particles._replace(**transients)
     return sorted_particles, sorted_ids
 
 

@@ -56,3 +56,55 @@ def test_sharded_matches_single_device(method):
     assert dist.max() < 5e-4, f"position mismatch: max {dist.max()}"
     dv = np.abs(v1 - v2[idx]).max()
     assert dv < 0.05, f"velocity mismatch: max {dv}"
+
+
+def test_sharded_fast_flow_crossing_stress():
+    """Particles with strong x-velocity repeatedly cross slab boundaries
+    for 50 steps on the 8-device mesh: migration and halo machinery must
+    keep every particle, never trip a capacity flag, and keep the state
+    finite and inside the padded box.  (VERDICT round 1, item 9.)"""
+    assert len(jax.devices()) >= 8
+    d = small_scene_dict(method=0, radius=0.05,
+                         block=((0.1, 0.4, 0.1), (0.45, 0.7, 0.45)),
+                         velocity=(3.0, 0.0, 1.0))
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg)
+    sharded = ShardedSolver(params, n_devices=8, mig_cap=128, halo_cap=512,
+                            loc_cap=params.n_pad)
+    state = sharded.initialize(particles)
+    mig_total = 0
+    for i in range(50):
+        state, m = sharded.step(state)
+        assert int(m["migration_overflow"]) == 0, f"step {i}"
+        assert int(m["halo_overflow"]) == 0, f"step {i}"
+        mig_total += int(m.get("migrated", m.get("migration_count", 0)))
+    gp = sharded.gather_particles(state)
+    x = np.asarray(gp.x)
+    assert x.shape[0] == params.n_particles
+    assert np.isfinite(x).all()
+    assert np.isfinite(np.asarray(gp.v)).all()
+    pad = params.padding
+    size = np.asarray(params.domain_size)
+    assert (x >= pad - 1e-4).all() and (x <= size - pad + 1e-4).all()
+
+
+def test_sharded_migration_overflow_is_loud():
+    """With a deliberately absurd migration capacity, the overflow flag
+    must fire (silent loss is the failure mode being guarded against) and
+    the particle count must still be conserved."""
+    assert len(jax.devices()) >= 8
+    d = small_scene_dict(method=0, radius=0.05,
+                         block=((0.1, 0.4, 0.1), (0.45, 0.7, 0.45)),
+                         velocity=(3.0, 0.0, 0.0))
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg)
+    sharded = ShardedSolver(params, n_devices=8, mig_cap=1, halo_cap=512,
+                            loc_cap=params.n_pad)
+    state = sharded.initialize(particles)
+    fired = False
+    for _ in range(30):
+        state, m = sharded.step(state)
+        if int(m["migration_overflow"]) > 0:
+            fired = True
+            break
+    assert fired, "migration overflow never flagged despite mig_cap=1"
