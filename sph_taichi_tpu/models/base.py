@@ -69,10 +69,30 @@ def sync_fields(ctx, p: Particles, names):
 # ---------------------------------------------------------------------------
 
 def bin_and_sort(p: Particles, params: SimParams, engine):
-    """Re-bin particles into the grid, sort, and prepare the pair engine."""
+    """Re-bin particles into the grid, sort, and prepare the pair engine.
+
+    Sort-payload analysis (every excluded operand shrinks the per-step
+    sort network):
+    - acc: every solver fully recomputes acceleration before reading it
+      within the substep (WCSPH compute_non_pressure/forces, DFSPH
+      compute_non_pressure_forces, IISPH compute_non_pressure).
+    - pressure: WCSPH rewrites it from the EOS each substep and solid
+      pressure stays 0; DFSPH never reads it (kappa-based).  IISPH warm-
+      starts from last step's pressure (IISPH.py:100), so there it rides.
+    - x0 (rest positions): only shape matching and rigid rest-CM read
+      them; scenes without dynamic rigid objects never do after init.
+    - color: per-particle color is constant per object; the host side
+      reconstructs it from object_id (Simulation keeps a palette table),
+      so it never needs to be permutation-consistent on device.
+    """
+    transient = ["acc", "color"]
+    if params.simulation_method != 2:
+        transient.append("pressure")
+    if not params.dynamic_rigid_ids:
+        transient.append("x0")
     cell_ids = compute_cell_ids(p.x, p.material, params.grid_size,
                                 params.grid_num)
-    p, sorted_ids = sort_by_cell(p, cell_ids)
+    p, sorted_ids = sort_by_cell(p, cell_ids, extra_transient=transient)
     starts = cell_offsets(sorted_ids, params.num_cells)
     ctx = engine.prepare(p.x, starts)
     diag = {"max_cell_occupancy": max_cell_occupancy(starts)}
@@ -94,12 +114,12 @@ def _boundary_volume(p: Particles, ctx, engine, params: SimParams,
     """
     h = params.support_radius
 
-    def term(fi, fj, rvec, rn):
+    def term(fi, fj, d2, rn, dots):
         w = cubic_kernel(rn, h, params.dim)
         return {"delta": jnp.where(fj["material"] == MATERIAL_SOLID, w, 0.0)}
 
     out = engine.traverse(ectx(ctx), p.x, {"material": p.material}, term,
-                          {"delta": "scalar"})
+                          {"delta": "scalar"}, mode="mxu")
     delta = cubic_kernel(jnp.zeros((), p.x.dtype), h, params.dim) \
         + out["delta"]
     m_v = 3.0 / delta
@@ -309,13 +329,13 @@ def compute_densities(p: Particles, ctx, engine, params: SimParams):
     DFSPH.py:23-47). Solid/pad densities keep their stored values."""
     h = params.support_radius
 
-    def term(fi, fj, rvec, rn):
+    def term(fi, fj, d2, rn, dots):
         w = cubic_kernel(rn, h, params.dim)
         return {"den": jnp.where(fj["material"] >= 0, fj["m_V"] * w, 0.0)}
 
     out = engine.traverse(ectx(ctx), p.x,
                           {"material": p.material, "m_V": p.m_V},
-                          term, {"den": "scalar"})
+                          term, {"den": "scalar"}, mode="mxu")
     den = p.m_V * cubic_kernel(jnp.zeros((), p.x.dtype), h, params.dim) \
         + out["den"]
     density = den * params.density0
@@ -342,9 +362,9 @@ def compute_non_pressure_forces(p: Particles, ctx, engine,
     diameter = params.particle_diameter
     w_diam = None  # computed inside term with static shapes
 
-    def term(fi, fj, rvec, rn):
+    def term(fi, fj, d2, rn, dots):
         fluid_j = fj["material"] == MATERIAL_FLUID
-        r2 = rn * rn
+        r2 = d2
         # surface tension (WCSPH.py:92-102): kernel of max(r, diameter)
         w = cubic_kernel(rn, h, dim)
         wd = cubic_kernel(jnp.asarray(diameter, rn.dtype), h, dim)
@@ -352,8 +372,7 @@ def compute_non_pressure_forces(p: Particles, ctx, engine,
         st_coef = jnp.where(fluid_j,
                             -(st / fi["m"]) * fj["m"] * w_st, 0.0)
         # viscosity (WCSPH.py:105-116)
-        dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"], fi["v2"] - fj["v2"])
-        v_xy = vdot(dv, rvec)
+        v_xy = dots["v"]
         gradw_s = cubic_kernel_derivative_scalar(rn, h, dim)
         d = 2.0 * (dim + 2.0)
         visc_coef = jnp.where(
@@ -361,14 +380,13 @@ def compute_non_pressure_forces(p: Particles, ctx, engine,
             d * visc * (fj["m"] / fj["density"]) * v_xy
             / (r2 + 0.01 * h * h) * gradw_s,
             0.0)
-        coef = st_coef + visc_coef
-        return {"a": vscale(coef, rvec)}
+        return {"a": st_coef + visc_coef}
 
     out = engine.traverse(
         ectx(ctx), p.x,
         {"material": p.material, "m": p.m, "density": p.density,
          "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
-        term, {"a": "vec"})
+        term, {"a": "radial"}, mode="mxu", pair_dots=("v",))
     a_pair = jnp.stack(out["a"], axis=1)
 
     acc = g[None, :] + jnp.where(p.is_fluid()[:, None], a_pair, 0.0)

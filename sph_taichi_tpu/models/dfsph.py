@@ -59,20 +59,21 @@ class DFSPHSolver(SPHBase):
         params = self.params
         h = params.support_radius
 
-        def term(fi, fj, rvec, rn):
+        def term(fi, fj, d2, rn, dots):
             real = fj["material"] >= 0
             w = cubic_kernel(rn, h, params.dim)
             den = jnp.where(real, fj["m_V"] * w, 0.0)
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
             gcoef = -fj["m_V"] * gradw_s
-            gi = vscale(jnp.where(real, -gcoef, 0.0), rvec)
             sq = jnp.where(fj["material"] == MATERIAL_FLUID,
-                           gcoef * gcoef * (rn * rn), 0.0)
-            return {"den": den, "grad": gi, "sq": sq}
+                           gcoef * gcoef * d2, 0.0)
+            return {"den": den,
+                    "grad": jnp.where(real, -gcoef, 0.0), "sq": sq}
 
         out = self.engine.traverse(
             ectx(ctx), p.x, {"material": p.material, "m_V": p.m_V},
-            term, {"den": "scalar", "grad": "vec", "sq": "scalar"})
+            term, {"den": "scalar", "grad": "radial", "sq": "scalar"},
+            mode="mxu")
 
         den = p.m_V * cubic_kernel(jnp.zeros((), p.x.dtype), h, params.dim) \
             + out["den"]
@@ -94,20 +95,19 @@ class DFSPHSolver(SPHBase):
         params = self.params
         h = params.support_radius
 
-        def term(fi, fj, rvec, rn):
+        def term(fi, fj, d2, rn, dots):
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
             # grad_p_j = -m_V_j * gradW(x_i - x_j)
             gcoef = -fj["m_V"] * gradw_s
             real = fj["material"] >= 0
             # grad_p_i -= grad_p_j for both fluid and solid neighbors
-            gi = vscale(jnp.where(real, -gcoef, 0.0), rvec)
             sq = jnp.where(fj["material"] == MATERIAL_FLUID,
-                           gcoef * gcoef * (rn * rn), 0.0)
-            return {"grad": gi, "sq": sq}
+                           gcoef * gcoef * d2, 0.0)
+            return {"grad": jnp.where(real, -gcoef, 0.0), "sq": sq}
 
         out = self.engine.traverse(
             ectx(ctx), p.x, {"material": p.material, "m_V": p.m_V},
-            term, {"grad": "vec", "sq": "scalar"})
+            term, {"grad": "radial", "sq": "scalar"}, mode="mxu")
         gx, gy, gz = out["grad"]
         sum_grad_p_k = out["sq"] + gx * gx + gy * gy + gz * gz
         factor = jnp.where(sum_grad_p_k > 1e-6, -1.0 / sum_grad_p_k, 0.0)
@@ -120,19 +120,18 @@ class DFSPHSolver(SPHBase):
         params = self.params
         h = params.support_radius
 
-        def term(fi, fj, rvec, rn):
+        def term(fi, fj, d2, rn, dots):
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
-            dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"],
-                  fi["v2"] - fj["v2"])
             real = fj["material"] >= 0
-            div = jnp.where(real, fj["m_V"] * gradw_s * vdot(dv, rvec), 0.0)
+            div = jnp.where(real, fj["m_V"] * gradw_s * dots["v"], 0.0)
             return {"div": div, "cnt": jnp.where(real, 1.0, 0.0)}
 
         out = self.engine.traverse(
             ectx(ctx), p.x,
             {"material": p.material, "m_V": p.m_V,
              "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]},
-            term, {"div": "scalar", "cnt": "scalar"})
+            term, {"div": "scalar", "cnt": "scalar"},
+            mode="mxu", pair_dots=("v",))
         adv = jnp.maximum(out["div"], 0.0)
         min_nbr = 20 if params.dim == 3 else 7
         adv = jnp.where(out["cnt"] < min_nbr, 0.0, adv)
@@ -144,20 +143,18 @@ class DFSPHSolver(SPHBase):
         params = self.params
         h = params.support_radius
 
-        def term(fi, fj, rvec, rn):
+        def term(fi, fj, d2, rn, dots):
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
-            dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"],
-                  fi["v2"] - fj["v2"])
             real = fj["material"] >= 0
             return {"div": jnp.where(real,
-                                     fj["m_V"] * gradw_s * vdot(dv, rvec),
+                                     fj["m_V"] * gradw_s * dots["v"],
                                      0.0)}
 
         out = self.engine.traverse(
             ectx(ctx), p.x,
             {"material": p.material, "m_V": p.m_V,
              "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]},
-            term, {"div": "scalar"})
+            term, {"div": "scalar"}, mode="mxu", pair_dots=("v",))
         adv = density / self.density_0 + dt * out["div"]
         adv = jnp.maximum(adv, 1.0)
         return jnp.where(p.is_fluid(), adv, 0.0)
@@ -185,7 +182,7 @@ class DFSPHSolver(SPHBase):
         h = params.support_radius
         eps = self.m_eps
 
-        def term(fi, fj, rvec, rn):
+        def term(fi, fj, d2, rn, dots):
             # NOTE: dt is traced (SimState.dt) and must not be captured by
             # the term closure (the Pallas kernel takes no traced
             # constants); it scales "dv" linearly, so it is applied after
@@ -203,21 +200,21 @@ class DFSPHSolver(SPHBase):
             coef_solid = jnp.where(
                 solid_j & (jnp.abs(k_i) > eps),
                 k_i * fj["m_V"] * gradw_s, 0.0)
-            outs = {"dv": vscale(coef_fluid + coef_solid, rvec)}
+            outs = {"dv": coef_fluid + coef_solid}
             if with_reaction:
-                rc = jnp.where(
+                outs["react"] = jnp.where(
                     fluid_j & (jnp.abs(k_j) > eps),
                     k_j * fi["m_V"] * gradw_s * (fj["density"] / fi["density"]),
                     0.0)
-                outs["react"] = vscale(rc, rvec)
             return outs
 
         fields = {"material": p.material, "m_V": p.m_V, "kappa": kappa}
-        specs = {"dv": "vec"}
+        specs = {"dv": "radial"}
         if with_reaction:
             fields["density"] = p.density
-            specs["react"] = "vec"
-        out = self.engine.traverse(ectx(ctx), p.x, fields, term, specs)
+            specs["react"] = "radial"
+        out = self.engine.traverse(ectx(ctx), p.x, fields, term, specs,
+                                   mode="mxu")
         dv = dt * jnp.stack(out["dv"], axis=1)
         react = jnp.stack(out["react"], axis=1) if with_reaction else None
         return dv, react

@@ -51,23 +51,20 @@ class IISPHSolver(SPHBase):
         d = 2.0 * (params.dim + 2.0)
         visc = params.viscosity
 
-        def term(fi, fj, rvec, rn):
+        def term(fi, fj, d2, rn, dots):
             fluid_j = fj["material"] == MATERIAL_FLUID
-            dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"],
-                  fi["v2"] - fj["v2"])
-            v_xy = vdot(dv, rvec)
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
             coef = jnp.where(
                 fluid_j,
-                d * visc * (fj["m"] / fj["density"]) * v_xy
-                / (rn * rn + 0.01 * h * h) * gradw_s, 0.0)
-            return {"a": vscale(coef, rvec)}
+                d * visc * (fj["m"] / fj["density"]) * dots["v"]
+                / (d2 + 0.01 * h * h) * gradw_s, 0.0)
+            return {"a": coef}
 
         out = self.engine.traverse(
             ectx(ctx), p.x,
             {"material": p.material, "m": p.m, "density": p.density,
              "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
-            term, {"a": "vec"})
+            term, {"a": "radial"}, mode="mxu", pair_dots=("v",))
         acc = self.g[None, :] + jnp.stack(out["a"], axis=1)
         acc = jnp.where((p.material == -1)[:, None], 0.0, acc)
         return p._replace(acc=acc)
@@ -84,23 +81,22 @@ class IISPHSolver(SPHBase):
         p = p._replace(v=v_star)
         p = sync_fields(ctx, p, ["v"])
 
-        def term(fi, fj, rvec, rn):
+        def term(fi, fj, d2, rn, dots):
             real = fj["material"] >= 0
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
             mg = jnp.where(real, fj["m_V"] * gradw_s, 0.0)
-            g_vec = vscale(mg, rvec)                       # m_V_j gradW_ij
-            s_vec = vscale(mg / (fj["density"] * fj["density"]), rvec)
-            q = mg * gradw_s * (rn * rn)          # m_V_j |gradW_ij|^2
-            dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"],
-                  fi["v2"] - fj["v2"])
-            div = mg * vdot(dv, rvec)             # m_V_j (v_i-v_j).gradW_ij
-            return {"g": g_vec, "s": s_vec, "q": q, "div": div}
+            q = mg * gradw_s * d2                 # m_V_j |gradW_ij|^2
+            div = mg * dots["v"]                  # m_V_j (v_i-v_j).gradW_ij
+            return {"g": mg,
+                    "s": mg / (fj["density"] * fj["density"]),
+                    "q": q, "div": div}
 
         out = self.engine.traverse(
             ectx(ctx), p.x,
             {"material": p.material, "m_V": p.m_V, "density": p.density,
              "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
-            term, {"g": "vec", "s": "vec", "q": "scalar", "div": "scalar"})
+            term, {"g": "radial", "s": "radial", "q": "scalar",
+                   "div": "scalar"}, mode="mxu", pair_dots=("v",))
 
         gx, gy, gz = out["g"]
         sx, sy, sz = out["s"]
@@ -122,7 +118,7 @@ class IISPHSolver(SPHBase):
         h = params.support_radius
         rho0 = self.density_0
 
-        def term(fi, fj, rvec, rn):
+        def term(fi, fj, d2, rn, dots):
             fluid_j = fj["material"] == MATERIAL_FLUID
             solid_j = fj["material"] == MATERIAL_SOLID
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
@@ -132,13 +128,13 @@ class IISPHSolver(SPHBase):
                             fi["pr"] / (rho0 * rho0))
             coef = jnp.where(fluid_j | solid_j,
                              -rho0 * fj["m_V"] * (dpi + dpj) * gradw_s, 0.0)
-            return {"ap": vscale(coef, rvec)}
+            return {"ap": coef}
 
         out = self.engine.traverse(
             ectx(ctx), p.x,
             {"material": p.material, "m_V": p.m_V, "density": p.density,
              "pr": pressure},
-            term, {"ap": "vec"})
+            term, {"ap": "radial"}, mode="mxu")
         return jnp.stack(out["ap"], axis=1)
 
     def _apply_A(self, p: Particles, ctx, accel):
@@ -147,20 +143,18 @@ class IISPHSolver(SPHBase):
         params = self.params
         h = params.support_radius
 
-        def term(fi, fj, rvec, rn):
+        def term(fi, fj, d2, rn, dots):
             real = fj["material"] >= 0
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
-            da = (fi["a0"] - fj["a0"], fi["a1"] - fj["a1"],
-                  fi["a2"] - fj["a2"])
             return {"ap": jnp.where(real,
-                                    fj["m_V"] * gradw_s * vdot(da, rvec),
+                                    fj["m_V"] * gradw_s * dots["a"],
                                     0.0)}
 
         out = self.engine.traverse(
             ectx(ctx), p.x,
             {"material": p.material, "m_V": p.m_V,
              "a0": accel[:, 0], "a1": accel[:, 1], "a2": accel[:, 2]},
-            term, {"ap": "scalar"})
+            term, {"ap": "scalar"}, mode="mxu", pair_dots=("a",))
         return out["ap"]
 
     # ------------------------------------------------------------------

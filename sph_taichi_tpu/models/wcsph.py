@@ -74,11 +74,11 @@ class WCSPHSolver(SPHBase):
         # way: is_dynamic_rigid never true, WCSPH.py:67)
         want_react = bool(params.dynamic_rigid_ids)
 
-        def term(fi, fj, rvec, rn):
+        def term(fi, fj, d2, rn, dots):
             gradw_s = cubic_kernel_derivative_scalar(rn, h, dim)
             fluid_j = fj["material"] == MATERIAL_FLUID
             solid_j = fj["material"] == MATERIAL_SOLID
-            r2 = rn * rn
+            r2 = d2
 
             # surface tension (WCSPH.py:92-102)
             w = cubic_kernel(rn, h, dim)
@@ -88,9 +88,7 @@ class WCSPHSolver(SPHBase):
                                 0.0)
 
             # viscosity (WCSPH.py:105-116) — unclamped neighbor density
-            dv = (fi["v0"] - fj["v0"], fi["v1"] - fj["v1"],
-                  fi["v2"] - fj["v2"])
-            v_xy = vdot(dv, rvec)
+            v_xy = dots["v"]
             d = 2.0 * (dim + 2.0)
             visc_coef = jnp.where(
                 fluid_j,
@@ -107,29 +105,28 @@ class WCSPHSolver(SPHBase):
                 fluid_j | solid_j,
                 -rho0 * fj["m_V"] * (dpi + dpj) * gradw_s, 0.0)
 
-            res = {"a": vscale(st_coef + visc_coef + press_coef, rvec)}
+            res = {"a": st_coef + visc_coef + press_coef}
             if want_react:
                 # reaction on dynamic-rigid centers (WCSPH.py:67-68 as gather)
                 dpi_k = fj["pressure"] / (fj["density"] * fj["density"]) \
                     + fj["pressure"] / (rho0 * rho0)
-                react_coef = jnp.where(
+                res["react"] = jnp.where(
                     fluid_j,
                     -(rho0 * fi["m_V"] * dpi_k) * (rho0 / fi["density"])
                     * gradw_s,
                     0.0)
-                res["react"] = vscale(react_coef, rvec)
             return res
 
-        specs = {"a": "vec"}
+        specs = {"a": "radial"}
         if want_react:
-            specs["react"] = "vec"
+            specs["react"] = "radial"
         out = self.engine.traverse(
             ectx(ctx), p.x,
             {"material": p.material, "m": p.m, "m_V": p.m_V,
              "density": p.density, "density_nc": density_nc,
              "pressure": p.pressure,
              "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
-            term, specs)
+            term, specs, mode="mxu", pair_dots=("v",))
         a_pair = jnp.stack(out["a"], axis=1)
 
         acc = self.g[None, :] + jnp.where(p.is_fluid()[:, None], a_pair, 0.0)

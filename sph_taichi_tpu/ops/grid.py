@@ -52,7 +52,7 @@ def compute_cell_ids(x, material, grid_size, grid_num):
     return jnp.where(material == MATERIAL_PAD, num_cells, flat)
 
 
-def sort_by_cell(particles, cell_ids):
+def sort_by_cell(particles, cell_ids, extra_transient=()):
     """Stable sort of the whole particle pytree by flat cell id.
 
     Replaces the reference's atomic counting sort (particle_system.py:322-369).
@@ -64,16 +64,20 @@ def sort_by_cell(particles, cell_ids):
     slower on TPU, where irregular gathers serialize.
     Returns (sorted_particles, sorted_cell_ids).
 
-    DFSPH transients (dfsph_factor, density_adv) do NOT ride the sort:
-    both are recomputed from scratch at the top of every substep before
-    any read (models/dfsph.py density_and_factor / the solvers), so
-    permuting them carries no information — excluding them makes the
-    DFSPH sort identical to the WCSPH one (22 operands), which also
-    sidesteps a remote-compile pathology observed only with the 24-operand
-    variant at dragon scale (round-1 known issue).
+    Transient fields do NOT ride the sort.  A field is transient when it
+    is (re)computed before any read in every step, so permuting it
+    carries no information; the sort network cost is linear in operand
+    count, so every excluded field is a direct win.  Always transient:
+    dfsph_factor / density_adv (recomputed by density_and_factor / the
+    solvers at the top of every substep — excluding them also sidesteps
+    a remote-compile pathology observed only with the 24-operand sort at
+    dragon scale, round-1 known issue).  Callers pass more via
+    ``extra_transient`` (see models/base.py bin_and_sort for the
+    per-method analysis: acc always, pressure for WCSPH/DFSPH, x0 and
+    color when nothing reads them after initialization).
     """
     transients = {}
-    for name in ("dfsph_factor", "density_adv"):
+    for name in ("dfsph_factor", "density_adv") + tuple(extra_transient):
         a = getattr(particles, name, None)
         if a is not None:
             transients[name] = jnp.zeros_like(a)

@@ -39,6 +39,25 @@ Term-function contract (shared by both engines):
   (material == MATERIAL_PAD, parked in the overflow cell) are never
   traversal centers, and the Pallas engine leaves their output rows
   unwritten.  Callers must mask results by material — every solver does.
+
+MXU mode (opt-in per traversal, ``mode="mxu"``): SPH pair interactions
+are *radial* — every vector contribution is a scalar coefficient times
+r_ij — and every inner product the terms need ((v_i-v_j)·r_ij, r_ij·r_ij)
+is a rank-3 contraction.  In MXU mode the engine never materializes
+rvec: it computes d2 and requested pair dots through small matmuls on
+the 128x128 systolic array (batch-centered coordinates keep the
+|x_i|^2+|x_j|^2-2x_i·x_j expansion accurate in f32), and radial vector
+outputs through the decomposition  sum_j c_ij (x_i - x_j) =
+(sum_j c_ij) x_i - C @ X_j  (one matmul per output).  The term function
+signature becomes
+
+    term_fn(fi, fj, d2, rn, dots) -> dict[name, coef]
+
+with ``dots[u]`` = (u_i - u_j)·(x_i - x_j) for each requested base name
+u in ``pair_dots`` (component fields u0,u1,u2 must be in ``fields``),
+and out_specs values "scalar" | "radial".  This cuts the VPU op count
+of the hot pass roughly in half; the GatherEngine implements the same
+contract directly (it has rvec anyway) as the CPU oracle.
 """
 
 from typing import Callable, Dict, NamedTuple
@@ -100,7 +119,8 @@ class GatherEngine:
         return nl
 
     def traverse(self, ctx, x, fields: Dict[str, jnp.ndarray],
-                 term_fn: Callable, out_specs: Dict[str, str]):
+                 term_fn: Callable, out_specs: Dict[str, str],
+                 mode: str = "legacy", pair_dots=()):
         nl = ctx
         params = self.params
         n = x.shape[0]
@@ -120,6 +140,24 @@ class GatherEngine:
             rvec = rvec + (jnp.zeros_like(rvec[0]),)
         rn = jnp.sqrt(sum(c * c for c in rvec))
         valid = nl.mask()  # slot < cnt; radius+self already filtered at build
+
+        if mode == "mxu":
+            d2 = rn * rn
+            dots = {}
+            for u in pair_dots:
+                du = tuple(fi[f"{u}{d}"] - fj[f"{u}{d}"] for d in range(3))
+                dots[u] = vdot(du, rvec)
+            contribs = term_fn(fi, fj, d2, rn, dots)
+            outs = {}
+            for name, spec in out_specs.items():
+                c = jnp.broadcast_to(contribs[name], valid.shape)
+                c = jnp.where(valid, c, 0.0)
+                if spec == "radial":
+                    outs[name] = tuple(jnp.sum(c * rv, axis=1)
+                                       for rv in rvec)
+                else:
+                    outs[name] = jnp.sum(c, axis=1)
+            return outs
 
         contribs = term_fn(fi, fj, rvec, rn)
         outs = {}

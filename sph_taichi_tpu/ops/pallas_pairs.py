@@ -209,7 +209,8 @@ class PallasEngine:
 
     # ------------------------------------------------------------------
     def traverse(self, ctx: RowCtx, x, fields: Dict[str, jnp.ndarray],
-                 term_fn, out_specs: Dict[str, str]):
+                 term_fn, out_specs: Dict[str, str],
+                 mode: str = "legacy", pair_dots=()):
         n = x.shape[0]
         field_names = sorted(fields.keys())
         gidx = jnp.arange(n, dtype=jnp.float32)
@@ -234,12 +235,20 @@ class PallasEngine:
         out_names = sorted(out_specs.keys())
         out_cols = []
         for o in out_names:
-            out_cols.append((o, 3 if out_specs[o] == "vec" else 1))
+            out_cols.append((o, 3 if out_specs[o] in ("vec", "radial") else 1))
+        if mode == "mxu":
+            assert all(out_specs[o] in ("scalar", "radial") for o in out_names)
+            for u in pair_dots:
+                base = name_to_idx[f"{u}0"]
+                assert (name_to_idx[f"{u}1"] == base + 1
+                        and name_to_idx[f"{u}2"] == base + 2), \
+                    f"pair-dot components of {u!r} must pack contiguously"
 
         n_groups = (self.n_rows + self.g - 1) // self.g
         kernel = functools.partial(
             self._kernel, term_fn=term_fn, name_to_idx=name_to_idx,
-            out_cols=out_cols, f_pad=f_pad)
+            out_cols=out_cols, f_pad=f_pad, mxu=(mode == "mxu"),
+            pair_dots=tuple(pair_dots), out_specs=dict(out_specs))
 
         nb = self.nbatch
         out = pl.pallas_call(
@@ -280,7 +289,8 @@ class PallasEngine:
     # ------------------------------------------------------------------
     def _kernel(self, win_ref, span_ref, ctr_ref, lanes_hbm, out_hbm,
                 win_scr, cand_scr, ctr_scr, out_scr, sems,
-                *, term_fn, name_to_idx, out_cols, f_pad):
+                *, term_fn, name_to_idx, out_cols, f_pad,
+                mxu=False, pair_dots=(), out_specs=None):
         G, Z, nb, wu, r3, h2 = self.g, self.z, self.nbatch, self.wu, \
             self.r3, self.h2
         roll_mode = self.assemble == "roll"
@@ -392,6 +402,25 @@ class PallasEngine:
                                 cand = cand_scr[...]
                                 valid_j = cand[f_pad:f_pad + 1, :] > 0.5
 
+                                if mxu:
+                                    # batch-centered coordinates keep the
+                                    # |xi|^2+|xj|^2-2xi.xj expansion exact
+                                    # enough in f32 (origin = first center)
+                                    oc = jnp.minimum(ctr0,
+                                                     jnp.int32(n_ctr - 1))
+                                    orig = ctr_scr[pl.ds(oc, 1), 0:3]  # (1,3)
+                                    cand_xc = (cand[0:3, :]
+                                               - jnp.transpose(orig))
+                                    x2c_j = jnp.sum(cand_xc * cand_xc,
+                                                    axis=0, keepdims=True)
+                                    dots_j = {}
+                                    for u in pair_dots:
+                                        ub = name_to_idx[f"{u}0"]
+                                        cu = cand[ub:ub + 3, :]
+                                        dots_j[u] = (cu, jnp.sum(
+                                            cu * cand_xc, axis=0,
+                                            keepdims=True))
+
                                 def do_pass(p, _):
                                     coff = jnp.minimum(ctr0 + p * CB,
                                                        jnp.int32(n_ctr - CB))
@@ -400,6 +429,68 @@ class PallasEngine:
                                           for k_, v in name_to_idx.items()}
                                     fj = {k_: cand[v:v + 1, :]
                                           for k_, v in name_to_idx.items()}
+                                    if mxu:
+                                        cen_xc = cen[:, 0:3] - orig
+                                        x2c_i = jnp.sum(cen_xc * cen_xc,
+                                                        axis=1, keepdims=True)
+                                        cross = jnp.dot(
+                                            cen_xc, cand_xc,
+                                            preferred_element_type=jnp.float32)
+                                        d2 = jnp.maximum(
+                                            x2c_i + x2c_j - 2.0 * cross, 0.0)
+                                        rn = jnp.sqrt(d2)
+                                        dots = {}
+                                        for u in pair_dots:
+                                            ub = name_to_idx[f"{u}0"]
+                                            cen_u = cen[:, ub:ub + 3]
+                                            cu, uxc_j = dots_j[u]
+                                            uxc_i = jnp.sum(
+                                                cen_u * cen_xc, axis=1,
+                                                keepdims=True)
+                                            dots[u] = (
+                                                uxc_i + uxc_j
+                                                - jnp.dot(cen_u, cand_xc,
+                                                          preferred_element_type=jnp.float32)
+                                                - jnp.dot(cen_xc, cu,
+                                                          preferred_element_type=jnp.float32))
+                                        mask = (valid_j & (d2 < h2)
+                                                & (fi["gidx"] != fj["gidx"]))
+                                        contribs = term_fn(fi, fj, d2, rn,
+                                                           dots)
+                                        pieces = []
+                                        for o, ncomp in out_cols:
+                                            cc = jnp.broadcast_to(
+                                                contribs[o], mask.shape)
+                                            cc = jnp.where(mask, cc, 0.0)
+                                            if ncomp == 3:   # radial
+                                                s0 = jnp.sum(cc, axis=1,
+                                                             keepdims=True)
+                                                s1 = jax.lax.dot_general(
+                                                    cc, cand_xc,
+                                                    (((1,), (1,)), ((), ())),
+                                                    preferred_element_type=jnp.float32)
+                                                pieces.append(
+                                                    s0 * cen_xc - s1)
+                                            else:
+                                                pieces.append(jnp.sum(
+                                                    cc, axis=1,
+                                                    keepdims=True))
+                                        res = jnp.concatenate(pieces, axis=1)
+                                        pad = 128 - res.shape[1]
+                                        if pad:
+                                            res = jnp.concatenate(
+                                                [res, jnp.zeros(
+                                                    (CB, pad), jnp.float32)],
+                                                axis=1)
+                                        off = out0 + p * CB
+                                        off = jnp.minimum(
+                                            off, jnp.int32(
+                                                self.gcap + OUT_CHUNK - CB))
+                                        cur = out_scr[pl.ds(off, CB), :]
+                                        out_scr[pl.ds(off, CB), :] = \
+                                            jnp.where(sh == 0, res,
+                                                      cur + res)
+                                        return 0
                                     rvec = (fi["x0"] - fj["x0"],
                                             fi["x1"] - fj["x1"],
                                             fi["x2"] - fj["x2"])

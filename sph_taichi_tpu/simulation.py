@@ -29,6 +29,16 @@ class Simulation:
                            if scene_path else "scene")
         self.params, particles, self.objects = build_scene(
             self.config, scene_dir=scene_dir)
+        # per-object palette captured in creation order: device-side color
+        # is transient (dropped from the per-step sort, models/base.py
+        # bin_and_sort), so the host reconstructs colors from object_id
+        oid0 = np.asarray(particles.object_id)
+        col0 = np.asarray(particles.color)
+        n_obj = int(oid0.max()) + 1 if oid0.size else 1
+        self._palette = np.zeros((n_obj + 1, 3), np.int32)
+        for o in np.unique(oid0):
+            if o >= 0:
+                self._palette[int(o)] = col0[oid0 == o][0]
         if backend:
             import dataclasses
             self.params = dataclasses.replace(self.params, backend=backend)
@@ -88,8 +98,9 @@ class Simulation:
         mask = mat >= 0
         for inv in self.invisible_objects:
             mask &= obj != inv
+        colors = self._palette[np.clip(obj[mask], 0, len(self._palette) - 1)]
         return (np.asarray(p.x)[mask],
-                np.clip(np.asarray(p.color)[mask], 0, 255).astype(np.uint8))
+                np.clip(colors, 0, 255).astype(np.uint8))
 
     # ------------------------------------------------------------------
     def export_frame(self):
