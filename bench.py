@@ -74,6 +74,14 @@ def main():
 
     os.chdir(os.path.dirname(os.path.abspath(__file__)))
     import jax
+    # persistent compile cache: dragon/armadillo-scale programs take
+    # minutes to compile through the remote service; cache hits make
+    # repeat benchmark runs start in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     device = str(jax.devices()[0])
 
     if args.scene:  # single-scene mode

@@ -67,7 +67,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-CB = 64          # center sublanes per pass
+CB = 64          # center sublanes per pass (default; see engine.cb)
 OUT_CHUNK = 512  # output write-back chunk (particles)
 
 
@@ -100,8 +100,13 @@ class PallasEngine:
         self.gcap = int(getattr(params, "group_cap", 0) or 4096)   # out rows
         self.g = int(getattr(params, "rows_per_instance", 0) or 8)
         self.assemble = getattr(params, "assemble", "roll") or "roll"
-        self.wu = 128 if self.assemble == "roll" else 256  # cand lanes / window
+        # candidate lanes per window segment: pass math is proportional to
+        # 9*wu, so wu is sized to the (z_batch+2)-cell window population —
+        # windows that outgrow it are handled exactly by the sheet loop
+        wc = int(getattr(params, "window_cap", 0) or 64)
+        self.wu = wc if self.assemble == "roll" else 256
         self.h2 = params.support_radius * params.support_radius
+        self.cb = CB     # center sublanes per pass (tunable)
         self.ablate = ""  # perf-diagnosis hooks, see _kernel
 
     # ------------------------------------------------------------------
@@ -293,6 +298,7 @@ class PallasEngine:
                 mxu=False, pair_dots=(), out_specs=None):
         G, Z, nb, wu, r3, h2 = self.g, self.z, self.nbatch, self.wu, \
             self.r3, self.h2
+        CB = self.cb
         roll_mode = self.assemble == "roll"
         n_ctr = self.gcap + 256
 

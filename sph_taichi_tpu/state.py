@@ -109,9 +109,9 @@ class SimParams:
     neighbor_cap: int = 64        # K: max stored neighbors per particle
     cell_cap: int = 32            # M: max particles fetched per grid cell
     backend: str = "auto"         # pair engine: "auto" | "gather" | "pallas"
-    window_cap: int = 64          # pallas: lanes per 3-cell z-window
+    window_cap: int = 192         # pallas: lanes per (z_batch+2)-cell window
     row_cap: int = 1024           # pallas: max particles per grid row
-    z_batch: int = 6              # pallas: z-cells per center tile
+    z_batch: int = 16             # pallas: z-cells per center tile
     span_cap: int = 6144          # pallas: lanes per (G+2)-row y-span DMA
     group_cap: int = 4096         # pallas: particles per row-group (output acc)
     rows_per_instance: int = 8    # pallas: grid rows per kernel instance

@@ -24,3 +24,39 @@ def test_golden_5steps(method):
     m = np.asarray(state.p.material) >= 0
     np.testing.assert_allclose(np.asarray(state.p.x)[m], ref["x"], atol=1e-4)
     np.testing.assert_allclose(np.asarray(state.p.v)[m], ref["v"], atol=1e-3)
+
+
+def _two_way_scene():
+    """Tiny fluid block plus a DYNAMIC rigid block: exercises Akinci
+    volumes, the two-way reaction, shape matching and rigid advection —
+    the parity-richest code path (VERDICT round 1, item 7)."""
+    d = small_scene_dict(method=0)
+    d["RigidBlocks"] = [{
+        "objectId": 1,
+        "start": [0.55, 0.45, 0.25],
+        "end": [0.8, 0.7, 0.5],
+        "translation": [0.0, 0.0, 0.0],
+        "scale": [1.0, 1.0, 1.0],
+        "velocity": [0.0, 0.0, 0.0],
+        "density": 500.0,
+        "color": [100, 100, 100],
+        "isDynamic": True,
+    }]
+    return d
+
+
+def test_golden_two_way_coupling_5steps():
+    ref = np.load("tests/golden/two_way_5steps.npz")
+    cfg = SimConfig(config_dict=_two_way_scene())
+    params, particles, _ = build_scene(cfg)
+    solver = build_solver(params)
+    state = solver.initialize(particles)
+    for _ in range(5):
+        state, _ = solver.step(state)
+    m = np.asarray(state.p.material) >= 0
+    rigid = (np.asarray(state.p.material) == 0)[m]
+    np.testing.assert_allclose(np.asarray(state.p.x)[m], ref["x"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.p.v)[m], ref["v"], atol=1e-3)
+    # the rigid must have actually moved (two-way forces + gravity act on
+    # it) or this golden guards nothing
+    assert np.abs(np.asarray(state.p.v)[m][rigid]).max() > 1e-3
