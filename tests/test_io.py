@@ -113,3 +113,22 @@ def test_checkpoint_roundtrip(tmp_path):
         restored, _ = solver.step(restored)
     np.testing.assert_array_equal(np.asarray(s_direct.p.x),
                                   np.asarray(restored.p.x))
+
+
+def test_viewer_reads_exported_series(tmp_path):
+    """tools/viewer.py (the GGUI-window counterpart) parses the driver's
+    PLY series and the scene's domain box."""
+    import sys
+    sys.path.insert(0, ".")
+    import matplotlib
+    matplotlib.use("Agg")
+    from tools.viewer import read_ply_positions, frame_series
+    from sph_taichi_tpu.utils import exporters
+
+    pts = np.random.RandomState(0).rand(100, 3).astype(np.float32)
+    exporters.write_ply_ascii(str(tmp_path / "particle_object_0_000003.ply"),
+                              pts)
+    series = frame_series(str(tmp_path))
+    assert series == [(3, [str(tmp_path / "particle_object_0_000003.ply")])]
+    back = read_ply_positions(series[0][1][0])
+    np.testing.assert_allclose(back, pts, atol=1e-6)
