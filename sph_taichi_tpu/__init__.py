@@ -38,14 +38,19 @@ def build_solver(params, scene=None):
     Mirrors ParticleSystem.build_solver (reference particle_system.py:214-221):
     0 -> WCSPH, 4 -> DFSPH, else NotImplementedError.
     Additionally supports 2 -> IISPH (the reference ships it stale/unwired;
-    here the IISPH math is ported onto the live engine mechanism).  3D
-    PCISPH (method 1) does not exist in the reference's 3D engine either;
-    2D PCISPH lives in legacy2d.py, matching the reference's legacy engine.
+    here the IISPH math is ported onto the live engine mechanism) and
+    1 -> PCISPH (the reference has it only in the legacy 2D engine; the
+    prediction-correction loop is ported onto the 3D engine mechanism,
+    models/pcisph.py).  2D PCISPH also lives in legacy2d.py, matching the
+    reference's legacy engine.
     """
     method = params.simulation_method
     if method == 0:
         from sph_taichi_tpu.models.wcsph import WCSPHSolver
         return WCSPHSolver(params)
+    elif method == 1:
+        from sph_taichi_tpu.models.pcisph import PCISPHSolver
+        return PCISPHSolver(params)
     elif method == 4:
         from sph_taichi_tpu.models.dfsph import DFSPHSolver
         return DFSPHSolver(params)

@@ -446,7 +446,7 @@ def _metric_specs(self, state):
     # IISPH (method 2) returns pressure metrics; DFSPH (4) adds the
     # divergence-solver pair as well (VERDICT r1 item 5: method-2 sharded
     # runs previously failed shard_map out_specs structure matching).
-    if self.params.simulation_method in (2, 4):
+    if self.params.simulation_method in (1, 2, 4):
         base.update({"pressure_iters": P(), "pressure_error": P()})
     if self.params.simulation_method == 4:
         base.update({"divergence_iters": P(), "divergence_error": P()})

@@ -83,7 +83,7 @@ def _assert_states_close(sa, sb, atol=2e-5, rtol=2e-4, matched=False):
             err_msg=f"field {name} diverged between engines")
 
 
-@pytest.mark.parametrize("method", [0, 4, 2])
+@pytest.mark.parametrize("method", [0, 4, 2, 1])
 def test_solver_equivalence_lattice(method):
     """Multi-step solver runs agree on the standard falling-block scene."""
     n = 3

@@ -22,7 +22,7 @@ def run_steps(method, n_steps, scene=None, **scene_kw):
     return params, state, metrics
 
 
-@pytest.mark.parametrize("method", [0, 4, 2])
+@pytest.mark.parametrize("method", [0, 4, 2, 1])
 def test_particles_stay_in_padded_box(method):
     params, state, _ = run_steps(method, 15)
     p = state.p
@@ -196,3 +196,27 @@ def test_two_way_coupling_reaction():
                       np.linalg.norm(acc - g[None, :], axis=1).max())
     # at some point during the impact, rigid particles felt fluid pressure
     assert dev_max > 1e-3, f"no reaction ever felt (max dev {dev_max})"
+
+
+def test_pcisph_incompressibility_after_impact():
+    """3D PCISPH (capability extension; models/pcisph.py): a falling
+    block splashing down must stay near rho0 — the prediction-correction
+    loop keeps max density overshoot within its 1% tolerance — with
+    finite contained state."""
+    d = small_scene_dict(method=1, dt=4e-4,
+                         block=((0.1, 0.12, 0.1), (0.5, 0.42, 0.5)),
+                         velocity=(0.0, -2.0, 0.0))
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg)
+    solver = build_solver(params)
+    state = solver.initialize(particles)
+    for _ in range(120):
+        state, m = solver.step(state)
+        assert int(m["pressure_iters"]) >= 3       # legacy min-3 loop
+        assert int(m["pressure_iters"]) <= 1000
+    fluid = np.asarray(state.p.material) == 1
+    x = np.asarray(state.p.x)[fluid]
+    dens = np.asarray(state.p.density)[fluid]
+    assert np.isfinite(x).all()
+    assert x.min() >= params.padding - 1e-5
+    assert dens.max() <= 1000.0 * 1.02, f"compressed to {dens.max()}"
