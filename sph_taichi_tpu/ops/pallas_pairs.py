@@ -105,6 +105,9 @@ class PallasEngine:
         # windows that outgrow it are handled exactly by the sheet loop
         wc = int(getattr(params, "window_cap", 0) or 64)
         self.wu = wc if self.assemble == "roll" else 256
+        # aligned slab that must fully contain a window after the roll:
+        # worst-case misalignment is 127 lanes, so sl >= wu + 127
+        self.sl = -(-(self.wu + 128) // 128) * 128
         self.h2 = params.support_radius * params.support_radius
         self.cb = CB     # center sublanes per pass (tunable)
         self.ablate = ""  # perf-diagnosis hooks, see _kernel
@@ -196,8 +199,8 @@ class PallasEngine:
             "max_window_len": max_win,
             "max_row_len": max_row,
             "max_cell_occupancy_engine": jnp.max(cell_cnt),
-            # group span slabs + 256-lane aligned window reads must fit in R3
-            "span_overflow": max_span > self.r3 - 384,
+            # group span slabs + SL-lane aligned window reads must fit in R3
+            "span_overflow": max_span > self.r3 - self.sl - 128,
             # informational since window sheets: batches whose windows
             # exceed one tile are processed exactly, sheet by sheet; the
             # flag now marks "multi-sheet batches occurred" (a perf signal,
@@ -299,6 +302,7 @@ class PallasEngine:
         G, Z, nb, wu, r3, h2 = self.g, self.z, self.nbatch, self.wu, \
             self.r3, self.h2
         CB = self.cb
+        SL = self.sl
         roll_mode = self.assemble == "roll"
         n_ctr = self.gcap + 256
 
@@ -387,14 +391,14 @@ class PallasEngine:
                                     ws_hi = jnp.minimum(ws_lo + stride, whi)
                                     loc = ws_lo - bases[dx]
                                     loc = jnp.clip(loc, 0,
-                                                   jnp.int32(r3 - 256))
+                                                   jnp.int32(r3 - SL))
                                     la = jnp.minimum((loc // 128) * 128,
-                                                     jnp.int32(r3 - 256))
+                                                     jnp.int32(r3 - SL))
                                     la = pl.multiple_of(la, 128)
-                                    slab = win_scr[dx, :, pl.ds(la, 256)]
+                                    slab = win_scr[dx, :, pl.ds(la, SL)]
                                     if roll_mode:
                                         slab = pltpu.roll(
-                                            slab, 256 - (loc - la), axis=1)
+                                            slab, SL - (loc - la), axis=1)
                                     seg = slab[:, :wu]
                                     cand_scr[0:f_pad,
                                              k * wu:(k + 1) * wu] = seg

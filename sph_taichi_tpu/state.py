@@ -109,9 +109,13 @@ class SimParams:
     neighbor_cap: int = 64        # K: max stored neighbors per particle
     cell_cap: int = 32            # M: max particles fetched per grid cell
     backend: str = "auto"         # pair engine: "auto" | "gather" | "pallas"
-    window_cap: int = 192         # pallas: lanes per (z_batch+2)-cell window
+    # NOTE: z_batch=16/window_cap=192 measured ~15% faster on isolated
+    # traversals but full-step programs with that schedule hit a TPU
+    # backend INTERNAL fault at run time (round-2 known issue; see
+    # CLAUDE.md) — defaults stay at the stable schedule
+    window_cap: int = 128         # pallas: lanes per (z_batch+2)-cell window
     row_cap: int = 1024           # pallas: max particles per grid row
-    z_batch: int = 16             # pallas: z-cells per center tile
+    z_batch: int = 6              # pallas: z-cells per center tile
     span_cap: int = 6144          # pallas: lanes per (G+2)-row y-span DMA
     group_cap: int = 4096         # pallas: particles per row-group (output acc)
     rows_per_instance: int = 8    # pallas: grid rows per kernel instance

@@ -153,7 +153,8 @@ def test_boundary_volume_equivalence_with_rigid_block():
     _assert_states_close(sg, sp, matched=True)
 
 
-def test_extreme_compression_matches_oracle(rng):
+@pytest.mark.parametrize("window_cap", [192, 64])
+def test_extreme_compression_matches_oracle(rng, window_cap):
     """~200 particles forced into ONE grid cell: candidate windows far
     exceed one 128-lane tile (multi-sheet assembly) and center counts far
     exceed one pass.  The Pallas engine must match the brute-force-backed
@@ -181,7 +182,7 @@ def test_extreme_compression_matches_oracle(rng):
     h = params.support_radius
     outs = {}
     for backend in ("gather", "pallas_interpret"):
-        p2 = _dc.replace(params, backend=backend)
+        p2 = _dc.replace(params, backend=backend, window_cap=window_cap)
         eng = _me(p2)
         ps, ctx, diag = _bas(particles, p2, eng)
 
