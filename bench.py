@@ -112,9 +112,21 @@ def main():
 
     if not args.skip_armadillo:
         try:
+            # watchdog: a cold armadillo compile can take tens of minutes
+            # through the remote compile service; never let it eat the
+            # headline metric
+            import signal
+
+            def _timeout(signum, frame):
+                raise TimeoutError("armadillo bench exceeded watchdog")
+
+            signal.signal(signal.SIGALRM, _timeout)
+            signal.alarm(int(os.environ.get("BENCH_ARMADILLO_BUDGET_S",
+                                            "2400")))
             afps, an, afinite, _ = bench_scene(
                 "data/scenes/armadillo_bath_dynamic.json",
                 args.armadillo_steps, backend=args.backend)
+            signal.alarm(0)
             result.update({
                 "armadillo_bath_1p74m_fps": round(afps, 2),
                 "armadillo_vs_baseline":
