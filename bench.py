@@ -50,16 +50,24 @@ def bench_scene(scene, steps, warmup_chunks=1, backend=None):
     #                     is unreliable through the axon tunnel)
 
     n_chunks = max(steps // chunk, 1)
+    all_metrics = []   # lazy device values; inspected after timing
     t0 = time.time()
     for _ in range(n_chunks):
         state, metrics = frame_fn(state)
+        all_metrics.append(metrics)
     _ = float(state.t)
     elapsed = time.time() - t0
 
     fps = n_chunks * chunk / elapsed
     x = np.asarray(state.p.x)
     finite = bool(np.isfinite(x[: params.n_particles]).all())
-    return fps, params.n_particles, finite, type(solver.engine).__name__
+    # loud capacity surfacing (VERDICT r2 item 8): a perf number obtained
+    # while a fatal cap overflowed is not a valid number — record it
+    from sph_taichi_tpu.utils.profiling import check_overflow
+    overflow = sorted({k for m in all_metrics
+                       for k in check_overflow(m, where=f"bench {scene}")})
+    return fps, params.n_particles, finite, type(solver.engine).__name__, \
+        overflow
 
 
 def main():
@@ -85,18 +93,18 @@ def main():
     device = str(jax.devices()[0])
 
     if args.scene:  # single-scene mode
-        fps, n, finite, backend = bench_scene(
+        fps, n, finite, backend, overflow = bench_scene(
             args.scene, args.steps, backend=args.backend)
         name = os.path.splitext(os.path.basename(args.scene))[0]
         print(json.dumps({
             "metric": f"{name}_fps", "value": round(fps, 2),
             "unit": "steps/s",
             "vs_baseline": round(fps / BASELINE_DRAGON_FPS, 4),
-            "particles": n, "finite": finite,
+            "particles": n, "finite": finite, "overflow": overflow,
             "backend": backend, "device": device}))
         return
 
-    fps, n, finite, backend = bench_scene(
+    fps, n, finite, backend, overflow = bench_scene(
         "data/scenes/dragon_bath.json", args.steps, backend=args.backend)
     result = {
         "metric": "dragon_bath_420k_wcsph_fps",
@@ -106,36 +114,41 @@ def main():
         "particles": n,
         "particle_steps_per_sec": round(fps * n),
         "finite": finite,
+        "overflow": overflow,
         "backend": backend,
         "device": device,
     }
 
     if not args.skip_armadillo:
+        # watchdog: a cold armadillo compile can take tens of minutes
+        # through the remote compile service; never let it eat the
+        # headline metric.  alarm(0) rides a finally so a non-timeout
+        # error (or a late-firing alarm) can't kill the final print
+        # (ADVICE r2 item 1).
+        import signal
+
+        def _timeout(signum, frame):
+            raise TimeoutError("armadillo bench exceeded watchdog")
+
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(int(os.environ.get("BENCH_ARMADILLO_BUDGET_S",
+                                        "2400")))
         try:
-            # watchdog: a cold armadillo compile can take tens of minutes
-            # through the remote compile service; never let it eat the
-            # headline metric
-            import signal
-
-            def _timeout(signum, frame):
-                raise TimeoutError("armadillo bench exceeded watchdog")
-
-            signal.signal(signal.SIGALRM, _timeout)
-            signal.alarm(int(os.environ.get("BENCH_ARMADILLO_BUDGET_S",
-                                            "2400")))
-            afps, an, afinite, _ = bench_scene(
+            afps, an, afinite, _, aoverflow = bench_scene(
                 "data/scenes/armadillo_bath_dynamic.json",
                 args.armadillo_steps, backend=args.backend)
-            signal.alarm(0)
             result.update({
                 "armadillo_bath_1p74m_fps": round(afps, 2),
                 "armadillo_vs_baseline":
                     round(afps / BASELINE_ARMADILLO_FPS, 4),
                 "armadillo_particles": an,
                 "armadillo_finite": afinite,
+                "armadillo_overflow": aoverflow,
             })
         except Exception as e:  # armadillo failure must not hide the headline
             result["armadillo_error"] = repr(e)[:200]
+        finally:
+            signal.alarm(0)
 
     print(json.dumps(result))
 

@@ -23,13 +23,29 @@ come from explicit [start, end) offsets, not prefix[cell-1].
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sph_taichi_tpu.state import MATERIAL_PAD
 
 
 def pos_to_cell(x, grid_size):
-    """Integer cell coords by truncation toward zero (reference :288-289)."""
-    return (x / grid_size).astype(jnp.int32)
+    """Integer cell coords by truncation toward zero (reference :288-289).
+
+    Implementation note (round-3 armadillo root cause): this must be a
+    multiply by a HOST-computed f32 reciprocal, not a division.  XLA:TPU
+    lowers f32 division differently from CPU (reciprocal-based), so
+    ``x / grid_size`` assigns boundary-sitting lattice planes to
+    different cells on TPU than on CPU — measured at armadillo scale:
+    max row length 576 on device vs 384 on CPU, silently overflowing
+    group_cap and corrupting every sum.  An IEEE f32 multiply rounds
+    identically on both platforms, so capacity planning done on CPU
+    (tests) holds on device.  Physics is insensitive to the 1-ulp
+    assignment choice: pair inclusion is by exact distance (d2 < h2),
+    and a both-ways-misrounded pair can only be lost at distance
+    h - O(1e-7) where W vanishes.
+    """
+    inv = np.float32(1.0) / np.float32(grid_size)
+    return (x * inv).astype(jnp.int32)
 
 
 def flatten_cell(cell, grid_num):

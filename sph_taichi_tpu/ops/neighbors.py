@@ -72,7 +72,8 @@ def build_neighbor_list(x, cell_starts, grid_num, grid_size, support_radius,
     strides = jnp.asarray(
         [grid_num[1] * grid_num[2], grid_num[2], 1], jnp.int32)[:dim]
 
-    center = (x / grid_size).astype(jnp.int32)  # matches grid.pos_to_cell
+    from sph_taichi_tpu.ops.grid import pos_to_cell
+    center = pos_to_cell(x, grid_size)  # must match grid cell assignment
     rows = jnp.arange(n, dtype=jnp.int32)
     slot_iota = jnp.arange(m, dtype=jnp.int32)[None, :]
 

@@ -47,10 +47,12 @@ even on over-fetched lanes.
 Mosaic constraints honored (see docs/DESIGN.md): dynamic lane offsets in
 DMAs and VMEM vector loads are 128-aligned (aligned slabs + `pltpu.roll`
 with dynamic shift); outputs are (rows, 128) so DMA destinations keep a
-full lane width.  Output write-back is one chunked sweep per group;
-forward overshoot into the next group's span is rewritten by that
-group's own instance (instances run sequentially in ascending row
-order), and the global tail overshoot lands in a slack region.
+full lane width.  Output write-back is one chunked sweep per group with
+an EXACT tail: the final chunk overlaps backward over this group's own
+rows, so no instance ever writes outside its own [grp_lo, grp_hi) range
+(round 3; the round-2 forward-overshoot contract wrote stale scratch
+rows into the next group's range and was the prime suspect for the
+armadillo/z16 TPU INTERNAL faults).
 
 The engine implements the same `traverse` contract as GatherEngine
 (ops/pairs.py) and is validated against it by tests/test_pallas.py
@@ -261,7 +263,7 @@ class PallasEngine:
         nb = self.nbatch
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n + OUT_CHUNK, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
             grid=(n_groups,),
             in_specs=[
                 pl.BlockSpec((self.g, 9, 2 * nb), lambda i: (i, 0, 0),
@@ -555,19 +557,58 @@ class PallasEngine:
             jax.lax.fori_loop(0, G, row_body, 0)
 
             # ---- one chunked write-back sweep per group ----
+            # EXACT tail (round-3): full chunks, then one overlapped
+            # chunk covering [L-size, L) — rewriting rows of THIS group
+            # with identical data instead of overshooting into the next
+            # group's range.  The round-2 forward-overshoot contract
+            # assumed strictly sequential instances and wrote stale
+            # scratch rows into the next group (VERDICT r2 fault suspect).
+            # L clamps to gcap so a group-overflowed run degrades to
+            # clamped sums (flagged loudly via group_overflow) instead of
+            # an out-of-bounds scratch DMA -> TPU INTERNAL fault.
             if self.ablate == "nowriteback":
                 return
 
-            def out_body(c, _):
-                src = c * OUT_CHUNK
+            L = jnp.minimum(grp_len, jnp.int32(self.gcap))
+
+            def copy_chunk(src, size):
                 pltpu.make_async_copy(
-                    out_scr.at[pl.ds(src, OUT_CHUNK), :],
-                    out_hbm.at[pl.ds(grp_lo + src, OUT_CHUNK), :],
+                    out_scr.at[pl.ds(src, size), :],
+                    out_hbm.at[pl.ds(grp_lo + src, size), :],
                     sems.at[3]).start()
                 pltpu.make_async_copy(
-                    out_scr.at[pl.ds(src, OUT_CHUNK), :],
-                    out_hbm.at[pl.ds(grp_lo + src, OUT_CHUNK), :],
+                    out_scr.at[pl.ds(src, size), :],
+                    out_hbm.at[pl.ds(grp_lo + src, size), :],
                     sems.at[3]).wait()
+
+            def out_body(c, _):
+                copy_chunk(c * OUT_CHUNK, OUT_CHUNK)
                 return 0
 
-            jax.lax.fori_loop(0, pl.cdiv(grp_len, OUT_CHUNK), out_body, 0)
+            jax.lax.fori_loop(0, L // OUT_CHUNK, out_body, 0)
+
+            @pl.when((L % OUT_CHUNK > 0) & (L >= OUT_CHUNK))
+            def _tail_overlap():
+                copy_chunk(L - OUT_CHUNK, OUT_CHUNK)
+
+            # small-group path (L < OUT_CHUNK): one chunk-size level is
+            # enough — full chunks plus one overlapped tail copy, so no
+            # write ever lands outside [grp_lo, grp_lo + L)
+            for lo, hi, size in ((64, OUT_CHUNK, 64), (8, 64, 8)):
+                @pl.when((L >= lo) & (L < hi))
+                def _level(size=size):
+                    def body(c, _, size=size):
+                        copy_chunk(c * size, size)
+                        return 0
+                    jax.lax.fori_loop(0, L // size, body, 0)
+
+                    @pl.when(L % size > 0)
+                    def _ov(size=size):
+                        copy_chunk(L - size, size)
+
+            @pl.when(L < 8)
+            def _tiny():
+                def one(c, _):
+                    copy_chunk(c, 1)
+                    return 0
+                jax.lax.fori_loop(0, L, one, 0)

@@ -162,7 +162,8 @@ class ShardedSolver:
         mat = _pack_np(p, self.with_dfsph)
 
         x0c = np.clip(p.x[:, 0], 0.0, 1e6)  # pads sit at 1e9 (i32 overflow)
-        ix = (x0c / self.params.grid_size).astype(np.int32)
+        ix = (x0c * (np.float32(1.0) / np.float32(self.params.grid_size))
+              ).astype(np.int32)
         owner = np.clip(ix // self.nxd, 0, self.n_dev - 1)
         owner[p.material == MATERIAL_PAD] = -1
 
@@ -197,9 +198,9 @@ class ShardedSolver:
     def _ext_cell_ids(self, x, material, rank):
         """Flat cell id on the device-local extended grid; anything outside
         the extended slab (or padding) -> overflow cell."""
-        gs = self.params.grid_size
+        from sph_taichi_tpu.ops.grid import pos_to_cell
         ny, nz = self.params.grid_num[1], self.params.grid_num[2]
-        cell = (x / gs).astype(jnp.int32)
+        cell = pos_to_cell(x, self.params.grid_size)
         gix = cell[:, 0] - rank * self.nxd + 1
         giy = jnp.clip(cell[:, 1], 0, ny - 1)
         giz = jnp.clip(cell[:, 2], 0, nz - 1)
@@ -210,7 +211,8 @@ class ShardedSolver:
                          flat, num_cells)
 
     def _owner(self, x):
-        ix = (x[:, 0] / self.params.grid_size).astype(jnp.int32)
+        from sph_taichi_tpu.ops.grid import pos_to_cell
+        ix = pos_to_cell(x[:, 0], self.params.grid_size)
         return jnp.clip(ix // self.nxd, 0, self.n_dev - 1)
 
     def _exchange(self, mat, start, cap, row_ok, direction):

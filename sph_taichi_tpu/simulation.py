@@ -69,6 +69,11 @@ class Simulation:
             self._frame_fn = self.solver.make_frame_fn(self.substeps)
         self.state, self.metrics = self._frame_fn(self.state)
         self.frame += 1
+        # loud capacity-overflow surfacing (VERDICT r2 item 8): a too-small
+        # cap silently drops pair contributions; warn every frame it fires
+        # (cheap: flags ride the metrics already materialized per frame)
+        from sph_taichi_tpu.utils.profiling import check_overflow
+        check_overflow(self.metrics, where=f"frame {self.frame}")
 
     def run(self, n_frames, export=True, checkpoint_interval=0,
             progress=False):

@@ -117,7 +117,7 @@ class SimParams:
     row_cap: int = 1024           # pallas: max particles per grid row
     z_batch: int = 6              # pallas: z-cells per center tile
     span_cap: int = 6144          # pallas: lanes per (G+2)-row y-span DMA
-    group_cap: int = 4096         # pallas: particles per row-group (output acc)
+    group_cap: int = 8192         # pallas: particles per row-group (output acc)
     rows_per_instance: int = 8    # pallas: grid rows per kernel instance
     assemble: str = "roll"        # pallas: window assembly ("roll" | "slab")
     # spatial sharding (parallel/sharding.py): local extended grid override

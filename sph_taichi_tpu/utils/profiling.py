@@ -69,6 +69,43 @@ class StepTimer:
         return "\n".join(lines)
 
 
+# Capacity flags whose firing means pair contributions were dropped or
+# sums were clamped — i.e. silently wrong physics, not just slow physics.
+# (window_overflow / row_overflow are perf signals since window sheets /
+# the group-level center transpose and are intentionally absent here.)
+FATAL_OVERFLOW_KEYS = ("span_overflow", "group_overflow",
+                       "neighbor_overflow", "spill_overflow",
+                       "migration_overflow", "halo_overflow")
+
+
+def check_overflow(metrics, where="step", strict=False):
+    """Surface capacity overflow loudly at runtime (VERDICT r2 item 8).
+
+    Scans a (possibly scan-stacked) metrics pytree for the fatal capacity
+    flags and warns — or raises when ``strict`` — if any fired.  Returns
+    the list of fired keys so callers (driver, bench) can annotate output.
+    """
+    import warnings
+
+    fired = []
+    for k in FATAL_OVERFLOW_KEYS:
+        v = metrics.get(k) if hasattr(metrics, "get") else None
+        if v is None:
+            continue
+        a = np.asarray(v)
+        if a.size and bool(a.any()):
+            fired.append(k)
+    if fired:
+        msg = (f"capacity overflow during {where}: {fired} — pair "
+               f"contributions were dropped or clamped; physics is "
+               f"silently wrong. Raise the corresponding capacity "
+               f"(SimParams caps / sharding caps).")
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return fired
+
+
 def summarize_metrics(metrics):
     """Host-side reduction of a (possibly scan-stacked) metrics pytree to
     plain floats for logging — the structured counterpart of the

@@ -132,11 +132,13 @@ def test_solver_equivalence_clumped(method, rng):
     _assert_states_close(sg, sp)
 
 
-def test_boundary_volume_equivalence_with_rigid_block():
+@pytest.mark.parametrize("method", [0, 4])
+def test_boundary_volume_equivalence_with_rigid_block(method):
     """Akinci boundary volumes (static + moving) agree on a scene with a
     rigid block: covers the solid-only term and the two-way coupling
-    reaction path in the force traversal."""
-    d = small_scene_dict(method=0)
+    reaction path in the force traversal.  method=4 covers DFSPH's
+    in-pressure-solve reaction accumulation (VERDICT r2 item 5)."""
+    d = small_scene_dict(method=method)
     d["RigidBlocks"] = [{
         "objectId": 1,
         "start": [0.55, 0.1, 0.1],
@@ -148,13 +150,14 @@ def test_boundary_volume_equivalence_with_rigid_block():
         "color": [100, 100, 100],
         "isDynamic": True,
     }]
-    sg = _run(0, "gather", 2, scene=d)
-    sp = _run(0, "pallas_interpret", 2, scene=d)
+    sg = _run(method, "gather", 2, scene=d)
+    sp = _run(method, "pallas_interpret", 2, scene=d)
     _assert_states_close(sg, sp, matched=True)
 
 
 @pytest.mark.parametrize("window_cap", [192, 64])
-def test_extreme_compression_matches_oracle(rng, window_cap):
+@pytest.mark.parametrize("mode", ["legacy", "mxu"])
+def test_extreme_compression_matches_oracle(rng, window_cap, mode):
     """~200 particles forced into ONE grid cell: candidate windows far
     exceed one 128-lane tile (multi-sheet assembly) and center counts far
     exceed one pass.  The Pallas engine must match the brute-force-backed
@@ -177,7 +180,10 @@ def test_extreme_compression_matches_oracle(rng, window_cap):
     c0 = np.array([4, 4, 4]) * cell + 0.05 * cell
     m = min(n, 200)
     x[:m] = (c0 + rng.uniform(0, 0.9 * cell, size=(m, 3))).astype(np.float32)
-    particles = particles._replace(x=_jnp.asarray(x))
+    # randomized velocities so the MXU pair-dot path sees nonzero v_ij
+    v = np.asarray(particles.v).copy()
+    v[:n] = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    particles = particles._replace(x=_jnp.asarray(x), v=_jnp.asarray(v))
 
     h = params.support_radius
     outs = {}
@@ -186,11 +192,26 @@ def test_extreme_compression_matches_oracle(rng, window_cap):
         eng = _me(p2)
         ps, ctx, diag = _bas(particles, p2, eng)
 
-        def term(fi, fj, rvec, rn):
-            return {"delta": fj["m_V"] * _ck(rn, h, p2.dim)}
+        if mode == "mxu":
+            # ADVICE r2 item 4: the multi-sheet overflow path must also be
+            # covered with the MXU contract (per-sheet read-modify-write
+            # accumulation + radial matmul decomposition + pair dots)
+            def term(fi, fj, d2, rn, dots):
+                return {"delta": fj["m_V"] * _ck(rn, h, p2.dim),
+                        "rad": fj["m_V"] * dots["v"]}
 
-        out = eng.traverse(ctx, ps.x, {"m_V": ps.m_V}, term,
-                           {"delta": "scalar"})
+            out = eng.traverse(
+                ctx, ps.x,
+                {"m_V": ps.m_V, "v0": ps.v[:, 0], "v1": ps.v[:, 1],
+                 "v2": ps.v[:, 2]},
+                term, {"delta": "scalar", "rad": "radial"},
+                mode="mxu", pair_dots=("v",))
+        else:
+            def term(fi, fj, rvec, rn):
+                return {"delta": fj["m_V"] * _ck(rn, h, p2.dim)}
+
+            out = eng.traverse(ctx, ps.x, {"m_V": ps.m_V}, term,
+                               {"delta": "scalar"})
         # engine contract: output is defined for real particles only
         # (padding rows are never traversal centers); compare real ones,
         # sorted back to a canonical order
@@ -198,18 +219,34 @@ def test_extreme_compression_matches_oracle(rng, window_cap):
         xs = np.asarray(ps.x)[real_s]
         order = np.argsort(xs[:, 0] * 1e6 + xs[:, 1] * 1e3 + xs[:, 2],
                            kind="stable")
-        outs[backend] = np.asarray(out["delta"])[real_s][order]
+        res = np.asarray(out["delta"])[real_s][order]
+        if mode == "mxu":
+            rad = np.stack([np.asarray(c) for c in out["rad"]], axis=1)
+            outs[backend] = (res, rad[real_s][order])
+        else:
+            outs[backend] = (res, None)
         if backend == "pallas_interpret":
             assert bool(diag["window_overflow"]), \
                 "test must actually exercise the multi-sheet path"
             assert int(diag["max_cell_occupancy_engine"]) >= 150
-    np.testing.assert_allclose(outs["pallas_interpret"], outs["gather"],
-                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(outs["pallas_interpret"][0],
+                               outs["gather"][0], rtol=1e-5, atol=1e-7)
+    if mode == "mxu":
+        # radial sums over a 200-particle clump are ~1e-6 cancellation
+        # residues of ~2.5e-7 per-pair terms; the two engines use
+        # different summation orders AND decompositions (centered matmul
+        # s0*xc_i - s1 vs direct sum of c*rvec), so compare at per-pair
+        # scale.  A dropped pair is still caught by the scalar column
+        # above (per-pair ~1e-3 >> 1e-7 atol, same mask).
+        np.testing.assert_allclose(outs["pallas_interpret"][1],
+                                   outs["gather"][1], rtol=1e-4, atol=3e-6)
 
 
 @pytest.mark.parametrize("scene", ["dragon_bath.json",
                                    "dragon_bath_dfsph.json",
-                                   "armadillo_bath_dynamic.json"])
+                                   "dragon_bath_dynamic_dfsph.json",
+                                   "armadillo_bath_dynamic.json",
+                                   "armadillo_bath_dynamic_dfsph.json"])
 def test_bundled_scene_capacities(scene):
     """The bundled reference scenes start within every engine capacity
     (span/group caps; windows may sheet but start single-sheet), so no

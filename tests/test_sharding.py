@@ -17,7 +17,7 @@ from sph_taichi_tpu.parallel.sharding import ShardedSolver
 from conftest import small_scene_dict
 
 
-@pytest.mark.parametrize("method", [0, 2, 4])
+@pytest.mark.parametrize("method", [0, 1, 2, 4])
 def test_sharded_matches_single_device(method):
     assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
     cfg = SimConfig(config_dict=small_scene_dict(method=method))
@@ -72,12 +72,10 @@ def test_sharded_fast_flow_crossing_stress():
     sharded = ShardedSolver(params, n_devices=8, mig_cap=128, halo_cap=512,
                             loc_cap=params.n_pad)
     state = sharded.initialize(particles)
-    mig_total = 0
     for i in range(50):
         state, m = sharded.step(state)
         assert int(m["migration_overflow"]) == 0, f"step {i}"
         assert int(m["halo_overflow"]) == 0, f"step {i}"
-        mig_total += int(m.get("migrated", m.get("migration_count", 0)))
     gp = sharded.gather_particles(state)
     x = np.asarray(gp.x)
     assert x.shape[0] == params.n_particles
