@@ -183,4 +183,10 @@ def make_engine(params):
     if backend == "pallas_interpret":  # CPU validation of the TPU kernel
         from sph_taichi_tpu.ops.pallas_pairs import PallasEngine
         return PallasEngine(params, interpret=True)
+    if backend == "pallas_blocks":     # v3 block engine (round 3)
+        from sph_taichi_tpu.ops.pallas_blocks import BlockEngine
+        return BlockEngine(params)
+    if backend == "pallas_blocks_interpret":
+        from sph_taichi_tpu.ops.pallas_blocks import BlockEngine
+        return BlockEngine(params, interpret=True)
     return GatherEngine(params)

@@ -1,0 +1,522 @@
+"""Pallas TPU pair-traversal engine v3: 2x2-row blocks, exact windows.
+
+Round-3 redesign of the v2 row-streaming kernel (ops/pallas_pairs.py),
+driven by the measured round-2 cost structure: the v2 pass loop runs at
+~full VPU rate on its padded lanes, so the remaining lever is *padding*,
+not issue overhead.  v2 evaluates ~1152 candidate lanes per center
+(9 row-windows x 128 lanes for a 6-z-cell center batch).  v3 restructures
+the tile so each center sees ~512:
+
+1. **2x2-row blocks.**  One grid instance owns a 2x2 tile of grid rows
+   (ix0..ix0+1, iy0..iy0+1).  Its 3x3x3-cell neighborhood union is the
+   4x4 row tile (ix0-1..ix0+2) x (iy0-1..iy0+2) — 16 row-windows per
+   center batch instead of v2's 9, but each is only (Z+2) z-cells wide.
+2. **Small z-batches with matched center blocks.**  Z=2 z-cells per
+   batch: centers = 4 rows x Z cells ~= 64 sublanes, candidates =
+   16 windows x WC=32 lanes = 512.  Round 2's "narrow tiles are slower"
+   finding (z2/w64) kept CB=64 center sublanes fixed and was measuring
+   center-sublane waste, not lane-width cost.
+3. **Exact windows.**  WC=32 covers (Z+2)=4 cells at the rest-lattice
+   occupancy of 8/cell exactly (measured: max t=0 occupancy is 8 in both
+   headline scenes).  Overflow is handled exactly by the v2 window-sheet
+   pattern on the candidate side and a center-sheet loop on the center
+   side — capacity costs passes, never pairs.
+4. **Column-pair output ranges.**  A 2x2 block's own particles form two
+   contiguous ranges (one per ix column: the iy0/iy0+1 rows are rid-
+   adjacent).  Each column gets its own out_scr half and its own
+   exact-tail writeback sweep (no instance writes outside its ranges).
+
+Mosaic constraints are honored exactly as in v2: dynamic lane offsets in
+DMAs and VMEM vector loads are 128-aligned (aligned slabs + pltpu.roll),
+span DMAs move full-lane-width (f_pad, SPAN) slabs, center slices use
+dynamic *sublane* offsets (alignment-free).
+
+Same ``traverse`` contract as GatherEngine / PallasEngine; validated by
+tests/test_pallas_blocks.py in interpret mode against the gather oracle.
+In mxu mode the pair geometry (d2, pair dots, radial outputs) is
+computed directly from rvec — unlike v2 there is no centered-matmul
+expansion, so docs/PARITY.md deviation 7 does not apply to this engine.
+"""
+
+import functools
+from typing import Dict, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+OUT_CHUNK = 512   # output write-back chunk (particles)
+CSL = 16          # center sublanes per own row per batch (Z*8 at Z=2)
+
+
+class BlockCtx(NamedTuple):
+    win_tab: jnp.ndarray    # i32[n_groups, 16, 2*nbz] window bounds
+    span_tab: jnp.ndarray   # i32[n_groups, 4, 2] per-ix-col span [lo, hi)
+    ctr_tab: jnp.ndarray    # i32[n_groups, 4, nbz+1] center-row batch starts
+    col_tab: jnp.ndarray    # i32[n_groups, 2, 2] own column-pair [lo, hi)
+    zrange: jnp.ndarray     # i32[n_groups, 2] batch range [b0, b1)
+    diag: dict
+
+
+class BlockEngine:
+    # metric keys of BlockCtx.diag (sharded runs need the structure static)
+    diag_keys = ("max_span_len", "max_window_len", "max_batch_centers",
+                 "max_cell_occupancy_engine", "max_colgrp_len",
+                 "span_overflow", "window_overflow", "group_overflow")
+
+    def __init__(self, params, interpret=False):
+        assert params.dim == 3, "Block engine is 3D; 2D uses GatherEngine"
+        self.params = params
+        self.interpret = interpret
+        nx, ny, nz = params.grid_num
+        self.nx, self.ny, self.nz = nx, ny, nz
+        self.nbx = -(-nx // 2)
+        self.nby = -(-ny // 2)
+        self.n_groups = self.nbx * self.nby
+        self.z = int(getattr(params, "blocks_z_batch", 0) or 2)
+        self.nbz = -(-nz // self.z)
+        self.wc = int(getattr(params, "blocks_window_cap", 0) or 32)
+        self.sl = -(-(self.wc + 128) // 128) * 128   # aligned roll slab
+        self.span = int(getattr(params, "blocks_span_cap", 0) or 2048)
+        self.half = int(getattr(params, "blocks_col_cap", 0) or 2048)
+        self.h2 = params.support_radius * params.support_radius
+
+    # ------------------------------------------------------------------
+    def prepare(self, x, cell_starts):
+        """Window/span/center tables for 2x2 blocks — structured XLA only."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        nbx, nby, z, nbz = self.nbx, self.nby, self.z, self.nbz
+        c = nx * ny * nz
+        big = jnp.int32(2 ** 30)
+
+        s = cell_starts[:c].reshape(nx, ny, nz)
+        row_end = cell_starts[nz:c + 1:nz].reshape(nx, ny)
+        s_full = jnp.concatenate([s, row_end[..., None]], axis=2)
+
+        # pad the row grid so (2a+ci, 2b+ri) for ci,ri in [-1, 2] is a
+        # plain strided slice; padded rows are empty sentinels
+        px = 2 * nbx - nx + 2    # left pad 1, right pad to even + 1
+        py = 2 * nby - ny + 2
+        sp = jnp.pad(s_full, ((1, px), (1, py), (0, 0)))
+        valid = jnp.pad(jnp.ones((nx, ny), bool), ((1, px), (1, py)))
+
+        lo_cols = [max(t * z - 1, 0) for t in range(nbz)]
+        hi_cols = [min(t * z + z + 1, nz) for t in range(nbz)]
+        ctr_cols = [min(t * z, nz) for t in range(nbz + 1)]
+
+        win_rows = []          # per window k=(ci*4+ri): (nbx, nby, 2*nbz)
+        span_lo = [None] * 4
+        span_hi = [None] * 4
+        span_any = [None] * 4
+        zlo_all, zhi_all = None, None
+        # per-row occupied z range (for batch-loop bounds)
+        cnts = sp[:, :, 1:] - sp[:, :, :-1]          # (nx+.., ny+.., nz)
+        occ = cnts > 0
+        zidx = jnp.arange(nz, dtype=jnp.int32)
+        row_zlo = jnp.min(jnp.where(occ, zidx, nz), axis=2)
+        row_zhi = jnp.max(jnp.where(occ, zidx, -1), axis=2)
+
+        for ci in (-1, 0, 1, 2):
+            for ri in (-1, 0, 1, 2):
+                w = sp[1 + ci::2, 1 + ri::2][:nbx, :nby]     # (nbx,nby,nz+1)
+                ok = valid[1 + ci::2, 1 + ri::2][:nbx, :nby]
+                wlo = jnp.where(ok[..., None], w[:, :, lo_cols], 0)
+                whi = jnp.where(ok[..., None], w[:, :, hi_cols], 0)
+                win_rows.append(jnp.stack([wlo, whi], axis=3)
+                                .reshape(nbx, nby, 2 * nbz))
+                d = ci + 1
+                lo_k = jnp.where(ok, w[:, :, 0], big)
+                hi_k = jnp.where(ok, w[:, :, nz], 0)
+                span_lo[d] = lo_k if span_lo[d] is None \
+                    else jnp.minimum(span_lo[d], lo_k)
+                span_hi[d] = hi_k if span_hi[d] is None \
+                    else jnp.maximum(span_hi[d], hi_k)
+                span_any[d] = ok if span_any[d] is None \
+                    else (span_any[d] | ok)
+                zl = jnp.where(ok, row_zlo[1 + ci::2, 1 + ri::2][:nbx, :nby],
+                               nz)
+                zh = jnp.where(ok, row_zhi[1 + ci::2, 1 + ri::2][:nbx, :nby],
+                               -1)
+                zlo_all = zl if zlo_all is None else jnp.minimum(zlo_all, zl)
+                zhi_all = zh if zhi_all is None else jnp.maximum(zhi_all, zh)
+
+        win_tab = jnp.stack(win_rows, axis=2).astype(jnp.int32) \
+            .reshape(self.n_groups, 16, 2 * nbz)
+
+        span_cols = []
+        for d in range(4):
+            glo = jnp.where(span_any[d], span_lo[d], 0)
+            ghi = jnp.where(span_any[d], span_hi[d], 0)
+            span_cols.append(jnp.stack([glo, ghi], axis=2))
+        span_tab = jnp.stack(span_cols, axis=2).astype(jnp.int32) \
+            .reshape(self.n_groups, 4, 2)
+
+        # center rows (own 2x2): order (c=0,j=0),(0,1),(1,0),(1,1) — rid-
+        # ascending within each ix column; starts at batch boundaries
+        ctr_rows = []
+        col_rows = []
+        for ci2 in (0, 1):
+            pair = []
+            for ri2 in (0, 1):
+                w = sp[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
+                ok = valid[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
+                ct = jnp.where(ok[..., None], w[:, :, ctr_cols], 0)
+                ctr_rows.append(ct)
+                pair.append((jnp.where(ok, w[:, :, 0], 0),
+                             jnp.where(ok, w[:, :, nz], 0)))
+            # column range [lo, hi): iy0 row start .. iy0+1 row end (the
+            # two rows are rid-adjacent; if iy0+1 is invalid, hi = row0 end)
+            lo = pair[0][0]
+            hi = jnp.maximum(pair[0][1], pair[1][1])
+            col_rows.append(jnp.stack([lo, hi], axis=2))
+        ctr_tab = jnp.stack(ctr_rows, axis=2).astype(jnp.int32) \
+            .reshape(self.n_groups, 4, nbz + 1)
+        col_tab = jnp.stack(col_rows, axis=2).astype(jnp.int32) \
+            .reshape(self.n_groups, 2, 2)
+
+        b0 = jnp.minimum(zlo_all // z, nbz).astype(jnp.int32)
+        b1 = jnp.minimum((zhi_all // z) + 1, nbz).astype(jnp.int32)
+        b1 = jnp.maximum(b1, b0)
+        zrange = jnp.stack([b0, b1], axis=2).astype(jnp.int32) \
+            .reshape(self.n_groups, 2)
+
+        # diagnostics
+        span_len = span_tab[:, :, 1] - span_tab[:, :, 0]
+        win_len = win_tab[:, :, 1::2] - win_tab[:, :, 0::2]
+        colgrp_len = col_tab[:, :, 1] - col_tab[:, :, 0]
+        batch_c = ctr_tab[:, :, 1:] - ctr_tab[:, :, :-1]
+        cell_cnt = cell_starts[1:c + 1] - cell_starts[:c]
+        diag = {
+            "max_span_len": jnp.max(span_len),
+            "max_window_len": jnp.max(win_len),
+            "max_batch_centers": jnp.max(batch_c),
+            "max_cell_occupancy_engine": jnp.max(cell_cnt),
+            "max_colgrp_len": jnp.max(colgrp_len),
+            # span slabs + SL-lane aligned window reads must fit in SPAN
+            "span_overflow": jnp.max(span_len) > self.span - self.sl - 128,
+            # informational: sheets make overflow exact (a perf signal)
+            "window_overflow": jnp.max(win_len) > self.wc,
+            # binding: a column range beyond the out half is clamped
+            "group_overflow": jnp.max(colgrp_len) > self.half,
+        }
+        return BlockCtx(win_tab=win_tab, span_tab=span_tab, ctr_tab=ctr_tab,
+                        col_tab=col_tab, zrange=zrange, diag=diag)
+
+    # ------------------------------------------------------------------
+    def traverse(self, ctx: BlockCtx, x, fields: Dict[str, jnp.ndarray],
+                 term_fn, out_specs: Dict[str, str],
+                 mode: str = "legacy", pair_dots=()):
+        n = x.shape[0]
+        field_names = sorted(fields.keys())
+        gidx = jnp.arange(n, dtype=jnp.float32)
+
+        cols = [x[:, 0], x[:, 1], x[:, 2], gidx]
+        name_to_idx = {"x0": 0, "x1": 1, "x2": 2, "gidx": 3}
+        for fn_ in field_names:
+            name_to_idx[fn_] = len(cols)
+            cols.append(fields[fn_].astype(jnp.float32))
+        f_used = len(cols)
+        f_pad = max(8, -(-f_used // 8) * 8)
+        while len(cols) < f_pad:
+            cols.append(jnp.zeros((n,), jnp.float32))
+
+        lanes = jnp.stack(cols, axis=0)
+        lanes = jnp.pad(lanes, ((0, 0), (0, self.span + 128)))
+        lanes = lanes.at[3, n:].set(-1.0)
+
+        out_names = sorted(out_specs.keys())
+        out_cols = []
+        for o in out_names:
+            out_cols.append((o, 3 if out_specs[o] in ("vec", "radial") else 1))
+
+        kernel = functools.partial(
+            self._kernel, term_fn=term_fn, name_to_idx=name_to_idx,
+            out_cols=out_cols, f_pad=f_pad, mxu=(mode == "mxu"),
+            pair_dots=tuple(pair_dots))
+
+        nbz = self.nbz
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+            grid=(self.n_groups,),
+            in_specs=[
+                pl.BlockSpec((1, 16, 2 * nbz), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4, 2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4, nbz + 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2, 2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),   # lanes (HBM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((4, f_pad, self.span), jnp.float32),  # col spans
+                pltpu.VMEM((f_pad + 1, 16 * self.wc), jnp.float32),  # cand
+                pltpu.VMEM((2 * (self.half + 128), f_pad),
+                           jnp.float32),                          # centers
+                pltpu.VMEM((2 * (self.half + 64), 128), jnp.float32),  # out
+                pltpu.SemaphoreType.DMA((5,)),
+            ],
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(ctx.win_tab, ctx.span_tab, ctx.ctr_tab, ctx.col_tab, ctx.zrange,
+          lanes)
+
+        outs = {}
+        pos = 0
+        for o, ncomp in out_cols:
+            if ncomp == 3:
+                outs[o] = (out[:n, pos], out[:n, pos + 1], out[:n, pos + 2])
+            else:
+                outs[o] = out[:n, pos]
+            pos += ncomp
+        return outs
+
+    # ------------------------------------------------------------------
+    def _kernel(self, win_ref, span_ref, ctr_ref, col_ref, zr_ref,
+                lanes_hbm, out_hbm, win_scr, cand_scr, ctr_scr, out_scr,
+                sems, *, term_fn, name_to_idx, out_cols, f_pad,
+                mxu=False, pair_dots=()):
+        Z, nbz, WC, SL, SPAN, h2 = self.z, self.nbz, self.wc, self.sl, \
+            self.span, self.h2
+        HALF_CTR = self.half + 128
+        HALF_OUT = self.half + 64
+
+        col_lo = [col_ref[0, c, 0] for c in (0, 1)]
+        col_hi = [col_ref[0, c, 1] for c in (0, 1)]
+        col_len = [col_hi[c] - col_lo[c] for c in (0, 1)]
+        grp_len = col_len[0] + col_len[1]
+
+        bases = []
+        for cspan in range(4):
+            lo = span_ref[0, cspan, 0]
+            bases.append(pl.multiple_of((lo // 128) * 128, 128))
+
+        @pl.when(grp_len > 0)
+        def _run():
+            for cspan in range(4):
+                pltpu.make_async_copy(
+                    lanes_hbm.at[:, pl.ds(bases[cspan], SPAN)],
+                    win_scr.at[cspan], sems.at[cspan]).start()
+            for cspan in range(4):
+                pltpu.make_async_copy(
+                    lanes_hbm.at[:, pl.ds(bases[cspan], SPAN)],
+                    win_scr.at[cspan], sems.at[cspan]).wait()
+
+            # ---- transpose each own column's particles to sublanes ----
+            delta_c = []
+            for c in (0, 1):
+                loc_g = col_lo[c] - bases[c + 1]
+                la_g = jnp.minimum((loc_g // 128) * 128,
+                                   jnp.int32(SPAN - 256))
+                la_g = pl.multiple_of(la_g, 128)
+                delta_g = loc_g - la_g
+                delta_c.append(delta_g)
+
+                def t_body(sb, _, c=c, la_g=la_g):
+                    off = jnp.minimum(la_g + sb * 256, jnp.int32(SPAN - 256))
+                    off = pl.multiple_of(off, 128)
+                    dst = jnp.minimum(c * HALF_CTR + sb * 256,
+                                      jnp.int32(2 * HALF_CTR - 256))
+                    ctr_scr[pl.ds(dst, 256), :] = jnp.transpose(
+                        win_scr[c + 1, :, pl.ds(off, 256)])
+                    return 0
+
+                jax.lax.fori_loop(
+                    0, pl.cdiv(delta_g + col_len[c], 256), t_body, 0)
+
+            b0 = zr_ref[0, 0]
+            b1 = zr_ref[0, 1]
+
+            def batch_body(t, _):
+                # widest window and center count of this batch decide the
+                # sheet loops; overflow is processed exactly, sheet by
+                # sheet (no silent pair drops)
+                mx = jnp.int32(1)
+                for k in range(16):
+                    mx = jnp.maximum(
+                        mx, win_ref[0, k, 2 * t + 1] - win_ref[0, k, 2 * t])
+                mxc = jnp.int32(1)
+                ctr_off = []
+                ctr_cnt = []
+                for r in range(4):
+                    cs = ctr_ref[0, r, t]
+                    ce = ctr_ref[0, r, t + 1]
+                    ctr_off.append(cs)
+                    ctr_cnt.append(ce - cs)
+                    mxc = jnp.maximum(mxc, ce - cs)
+
+                def sheet_body(sh, _):
+                    # ---- assemble candidate tile (f_pad+1, 16*WC) ----
+                    for k in range(16):
+                        cspan = k // 4
+                        wlo = win_ref[0, k, 2 * t]
+                        whi = win_ref[0, k, 2 * t + 1]
+                        ws_lo = wlo + sh * WC
+                        ws_hi = jnp.minimum(ws_lo + WC, whi)
+                        loc = ws_lo - bases[cspan]
+                        loc = jnp.clip(loc, 0, jnp.int32(SPAN - SL))
+                        la = jnp.minimum((loc // 128) * 128,
+                                         jnp.int32(SPAN - SL))
+                        la = pl.multiple_of(la, 128)
+                        slab = win_scr[cspan, :, pl.ds(la, SL)]
+                        slab = pltpu.roll(slab, SL - (loc - la), axis=1)
+                        seg = slab[:, :WC]
+                        cand_scr[0:f_pad, k * WC:(k + 1) * WC] = seg
+                        gi = seg[3:4, :]
+                        okm = ((gi >= ws_lo.astype(jnp.float32))
+                               & (gi < ws_hi.astype(jnp.float32)))
+                        cand_scr[f_pad:f_pad + 1, k * WC:(k + 1) * WC] = \
+                            okm.astype(jnp.float32)
+
+                    cand = cand_scr[...]
+                    valid_j = cand[f_pad:f_pad + 1, :] > 0.5
+
+                    def ctr_sheet(cs_i, _):
+                        # ---- assemble center tile (4*CSL, f_pad) ----
+                        cen_rows = []
+                        for r in range(4):
+                            c = r // 2
+                            off = (delta_c[c] + ctr_off[r] + cs_i * CSL
+                                   - col_lo[c] + c * HALF_CTR)
+                            off = jnp.clip(off, c * HALF_CTR,
+                                           jnp.int32((c + 1) * HALF_CTR
+                                                     - CSL))
+                            seg = ctr_scr[pl.ds(off, CSL), :]
+                            cnt = ctr_cnt[r] - cs_i * CSL
+                            iota = jax.lax.broadcasted_iota(
+                                jnp.int32, (CSL, f_pad), 0)
+                            inv = jnp.zeros((CSL, f_pad), jnp.float32) \
+                                .at[:, 0].set(1e9).at[:, 3].set(-1.0)
+                            seg = jnp.where(iota < cnt, seg, inv)
+                            cen_rows.append(seg)
+                        cen = jnp.concatenate(cen_rows, axis=0)  # (64,f_pad)
+
+                        fi = {k_: cen[:, v:v + 1]
+                              for k_, v in name_to_idx.items()}
+                        fj = {k_: cand[v:v + 1, :]
+                              for k_, v in name_to_idx.items()}
+                        rvec = (fi["x0"] - fj["x0"],
+                                fi["x1"] - fj["x1"],
+                                fi["x2"] - fj["x2"])
+                        d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
+                              + rvec[2] * rvec[2])
+                        rn = jnp.sqrt(d2)
+                        mask = (valid_j & (d2 < h2)
+                                & (fi["gidx"] != fj["gidx"]))
+
+                        if mxu:
+                            dots = {}
+                            for u in pair_dots:
+                                ub = name_to_idx[f"{u}0"]
+                                du = tuple(fi[f"{u}{dd}"] - fj[f"{u}{dd}"]
+                                           for dd in range(3))
+                                dots[u] = (du[0] * rvec[0]
+                                           + du[1] * rvec[1]
+                                           + du[2] * rvec[2])
+                            contribs = term_fn(fi, fj, d2, rn, dots)
+                        else:
+                            contribs = term_fn(fi, fj, rvec, rn)
+
+                        pieces = []
+                        for o, ncomp in out_cols:
+                            cc = contribs[o]
+                            if ncomp == 3 and mxu:      # radial
+                                cc = jnp.broadcast_to(cc, mask.shape)
+                                cc = jnp.where(mask, cc, 0.0)
+                                for rv in rvec:
+                                    pieces.append(jnp.sum(
+                                        cc * rv, axis=1, keepdims=True))
+                            else:
+                                comps = cc if ncomp == 3 else (cc,)
+                                for comp in comps:
+                                    comp = jnp.broadcast_to(comp, mask.shape)
+                                    pieces.append(jnp.sum(
+                                        jnp.where(mask, comp, 0.0),
+                                        axis=1, keepdims=True))
+                        res = jnp.concatenate(pieces, axis=1)
+                        pad = 128 - res.shape[1]
+                        if pad:
+                            res = jnp.concatenate(
+                                [res, jnp.zeros((4 * CSL, pad), jnp.float32)],
+                                axis=1)
+
+                        # per-row output copies, MASKED-exact: only rows
+                        # holding this row-batch's real centers are
+                        # touched (a plain 16-row copy would overshoot a
+                        # row's final batch into the *other* own row's
+                        # already-written early rows)
+                        for r in range(4):
+                            c = r // 2
+                            off = (ctr_off[r] + cs_i * CSL - col_lo[c]
+                                   + c * HALF_OUT)
+                            off = jnp.clip(off, c * HALF_OUT,
+                                           jnp.int32((c + 1) * HALF_OUT
+                                                     - CSL))
+                            cnt = ctr_cnt[r] - cs_i * CSL
+                            iota = jax.lax.broadcasted_iota(
+                                jnp.int32, (CSL, 128), 0)
+                            rr = res[r * CSL:(r + 1) * CSL, :]
+                            cur = out_scr[pl.ds(off, CSL), :]
+                            val = jnp.where(sh == 0, rr, cur + rr)
+                            out_scr[pl.ds(off, CSL), :] = jnp.where(
+                                iota < cnt, val, cur)
+                        return 0
+
+                    jax.lax.fori_loop(0, pl.cdiv(mxc, CSL), ctr_sheet, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, pl.cdiv(mx, WC), sheet_body, 0)
+                return 0
+
+            jax.lax.fori_loop(b0, b1, batch_body, 0)
+
+            # ---- exact-tail writeback, one sweep per own column ----
+            def copy_chunk(c, src, size):
+                pltpu.make_async_copy(
+                    out_scr.at[pl.ds(c * HALF_OUT + src, size), :],
+                    out_hbm.at[pl.ds(col_lo[c] + src, size), :],
+                    sems.at[4]).start()
+                pltpu.make_async_copy(
+                    out_scr.at[pl.ds(c * HALF_OUT + src, size), :],
+                    out_hbm.at[pl.ds(col_lo[c] + src, size), :],
+                    sems.at[4]).wait()
+
+            for c in (0, 1):
+                L = jnp.minimum(col_len[c], jnp.int32(self.half))
+
+                def out_body(k, _, c=c):
+                    copy_chunk(c, k * OUT_CHUNK, OUT_CHUNK)
+                    return 0
+
+                jax.lax.fori_loop(0, L // OUT_CHUNK, out_body, 0)
+
+                @pl.when((L % OUT_CHUNK > 0) & (L >= OUT_CHUNK))
+                def _tail(c=c, L=L):
+                    copy_chunk(c, L - OUT_CHUNK, OUT_CHUNK)
+
+                for lo, hi, size in ((64, OUT_CHUNK, 64), (8, 64, 8)):
+                    @pl.when((L >= lo) & (L < hi))
+                    def _level(c=c, L=L, size=size):
+                        def body(k, _, c=c, size=size):
+                            copy_chunk(c, k * size, size)
+                            return 0
+                        jax.lax.fori_loop(0, L // size, body, 0)
+
+                        @pl.when(L % size > 0)
+                        def _ov(c=c, L=L, size=size):
+                            copy_chunk(c, L - size, size)
+
+                @pl.when(L < 8)
+                def _tiny(c=c, L=L):
+                    def one(k, _, c=c):
+                        copy_chunk(c, k, 1)
+                        return 0
+                    jax.lax.fori_loop(0, L, one, 0)

@@ -111,7 +111,7 @@ class PallasEngine:
         # worst-case misalignment is 127 lanes, so sl >= wu + 127
         self.sl = -(-(self.wu + 128) // 128) * 128
         self.h2 = params.support_radius * params.support_radius
-        self.cb = CB     # center sublanes per pass (tunable)
+        self.cb = int(getattr(params, "center_block", 0) or CB)
         self.ablate = ""  # perf-diagnosis hooks, see _kernel
 
     # ------------------------------------------------------------------

@@ -109,17 +109,30 @@ class SimParams:
     neighbor_cap: int = 64        # K: max stored neighbors per particle
     cell_cap: int = 32            # M: max particles fetched per grid cell
     backend: str = "auto"         # pair engine: "auto" | "gather" | "pallas"
-    # NOTE: z_batch=16/window_cap=192 measured ~15% faster on isolated
-    # traversals but full-step programs with that schedule hit a TPU
-    # backend INTERNAL fault at run time (round-2 known issue; see
-    # CLAUDE.md) — defaults stay at the stable schedule
-    window_cap: int = 128         # pallas: lanes per (z_batch+2)-cell window
+    # Round-3 measured schedule (dragon evolved state, one v5e):
+    #   z6/w128/cb64 (round-2 default): 109.8 ms/step, rising with
+    #   occupancy; z4/w64/cb32: 62.4 ms/step, FLAT across 120 steps
+    #   (narrow sheeted windows absorb occupancy growth where wide
+    #   static windows paid everywhere).  Round 2's "narrow tiles are
+    #   slower" finding (z2/w64) kept CB=64 center sublanes fixed and was
+    #   measuring 75% center-sublane waste, not lane-width cost — CB must
+    #   scale with the z_batch*8 expected batch population.
+    # z16/w192 remains faster on isolated traversals but full-step
+    # programs with it fault (TPU INTERNAL, unresolved; see CLAUDE.md).
+    window_cap: int = 64          # pallas: lanes per (z_batch+2)-cell window
     row_cap: int = 1024           # pallas: max particles per grid row
-    z_batch: int = 6              # pallas: z-cells per center tile
+    z_batch: int = 4              # pallas: z-cells per center tile
+    center_block: int = 32        # pallas: center sublanes per pass (CB)
     span_cap: int = 6144          # pallas: lanes per (G+2)-row y-span DMA
     group_cap: int = 8192         # pallas: particles per row-group (output acc)
     rows_per_instance: int = 8    # pallas: grid rows per kernel instance
     assemble: str = "roll"        # pallas: window assembly ("roll" | "slab")
+    # v3 block engine (ops/pallas_blocks.py) knobs
+    blocks_z_batch: int = 2       # z-cells per center batch (Z)
+    blocks_window_cap: int = 32   # lanes per (Z+2)-cell window (WC)
+    blocks_span_cap: int = 3072   # lanes per 4-row ix-column span DMA
+    # (sized for armadillo's 576-particle max rows: 4*576 + slab slack)
+    blocks_col_cap: int = 2048    # particles per own ix-column (out half)
     # spatial sharding (parallel/sharding.py): local extended grid override
     grid_num_override: tuple = ()
     axis_name: str = ""           # mesh axis for cross-device reductions

@@ -1,0 +1,139 @@
+"""Block engine (v3, ops/pallas_blocks.py) ↔ GatherEngine equivalence.
+
+Same strategy as tests/test_pallas.py: run whole jitted solver programs
+with backend="pallas_blocks_interpret" (the v3 kernel under the Pallas
+interpreter on CPU) and backend="gather" (the portable oracle) and
+assert the states agree.  Adversarial layouts force the block engine's
+overflow machinery: candidate window sheets (window > WC lanes) and
+center sheets (> CSL centers per row-batch).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sph_taichi_tpu import SimConfig, build_scene, build_solver
+from conftest import small_scene_dict
+
+from test_pallas import (_assert_states_close, _clumped_positions)
+
+
+def _run(method, backend, n_steps, scene=None, perturb=None, **over):
+    d = scene or small_scene_dict(method=method)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    params = dataclasses.replace(params, backend=backend, **over)
+    if perturb is not None:
+        particles = particles._replace(x=jnp.asarray(perturb))
+    solver = build_solver(params)
+    state = solver.initialize(particles)
+    for _ in range(n_steps):
+        state, metrics = solver.step(state)
+    return state
+
+
+@pytest.mark.parametrize("method", [0, 4, 2, 1])
+def test_block_solver_equivalence_lattice(method):
+    n = 3
+    sg = _run(method, "gather", n)
+    sp = _run(method, "pallas_blocks_interpret", n)
+    _assert_states_close(sg, sp, matched=True)
+
+
+@pytest.mark.parametrize("method", [0, 4])
+def test_block_solver_equivalence_clumped(method, rng):
+    """One step on an adversarial clumped layout: multi-sheet windows and
+    multi-sheet center batches."""
+    d = small_scene_dict(method=method)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    x = _clumped_positions(rng, params, particles)
+    sg = _run(method, "gather", 1, perturb=x)
+    sp = _run(method, "pallas_blocks_interpret", 1, perturb=x)
+    _assert_states_close(sg, sp)
+
+
+def test_block_two_way_rigid_equivalence():
+    d = small_scene_dict(method=0)
+    d["RigidBlocks"] = [{
+        "objectId": 1,
+        "start": [0.55, 0.1, 0.1], "end": [0.85, 0.4, 0.4],
+        "translation": [0.0, 0.0, 0.0], "scale": [1.0, 1.0, 1.0],
+        "velocity": [0.0, 0.0, 0.0], "density": 1000.0,
+        "color": [100, 100, 100], "isDynamic": True,
+    }]
+    sg = _run(0, "gather", 2, scene=d)
+    sp = _run(0, "pallas_blocks_interpret", 2, scene=d)
+    _assert_states_close(sg, sp, matched=True)
+
+
+def test_block_extreme_compression_matches_oracle(rng):
+    """~200 particles in ONE cell: windows far beyond WC (candidate
+    sheets) and center counts far beyond CSL (center sheets) must still
+    match the gather oracle exactly — overflow costs passes, never
+    pairs."""
+    import jax.numpy as _jnp
+    from sph_taichi_tpu.models.base import bin_and_sort as _bas
+    from sph_taichi_tpu.ops.pairs import make_engine as _me
+    from sph_taichi_tpu.ops.kernels import cubic_kernel as _ck
+
+    d = small_scene_dict(method=0)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=256, cell_cap=256)
+    x = np.asarray(particles.x).copy()
+    real = np.asarray(particles.material) != -1
+    n = int(real.sum())
+    cell = params.grid_size
+    c0 = np.array([4, 4, 4]) * cell + 0.05 * cell
+    m = min(n, 200)
+    x[:m] = (c0 + rng.uniform(0, 0.9 * cell, size=(m, 3))).astype(np.float32)
+    particles = particles._replace(x=_jnp.asarray(x))
+
+    h = params.support_radius
+    outs = {}
+    for backend in ("gather", "pallas_blocks_interpret"):
+        p2 = dataclasses.replace(params, backend=backend)
+        eng = _me(p2)
+        ps, ctx, diag = _bas(particles, p2, eng)
+
+        def term(fi, fj, rvec, rn):
+            return {"delta": fj["m_V"] * _ck(rn, h, p2.dim)}
+
+        out = eng.traverse(ctx, ps.x, {"m_V": ps.m_V}, term,
+                           {"delta": "scalar"})
+        real_s = np.asarray(ps.material) != -1
+        xs = np.asarray(ps.x)[real_s]
+        order = np.argsort(xs[:, 0] * 1e6 + xs[:, 1] * 1e3 + xs[:, 2],
+                           kind="stable")
+        outs[backend] = np.asarray(out["delta"])[real_s][order]
+        if backend == "pallas_blocks_interpret":
+            assert bool(diag["window_overflow"]), \
+                "test must exercise candidate sheets"
+            assert int(diag["max_batch_centers"]) > 16, \
+                "test must exercise center sheets"
+    np.testing.assert_allclose(outs["pallas_blocks_interpret"],
+                               outs["gather"], rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("scene", ["dragon_bath.json",
+                                   "armadillo_bath_dynamic.json"])
+def test_block_bundled_scene_capacities(scene):
+    """Headline scenes start within the block engine's capacities."""
+    from sph_taichi_tpu.models.base import bin_and_sort as _bas
+    from sph_taichi_tpu.ops.pairs import make_engine as _me
+
+    cfg = SimConfig(f"data/scenes/{scene}")
+    params, particles, _ = build_scene(cfg)
+    p2 = dataclasses.replace(params, backend="pallas_blocks_interpret")
+    eng = _me(p2)
+    _, ctx, _ = _bas(particles, p2, eng)
+    diag = {k: np.asarray(v) for k, v in ctx.diag.items()}
+    assert not bool(diag["span_overflow"]), diag
+    assert not bool(diag["group_overflow"]), diag
+    # window_overflow is a perf signal only (sheets are exact): the
+    # platform-consistent cell ids concentrate straddling lattice planes
+    # (max t=0 occupancy 12), so a few 4-cell windows exceed WC=32 and
+    # sheet.  Bound the magnitude instead of requiring zero.
+    assert int(diag["max_window_len"]) <= 2 * 32, diag

@@ -1,0 +1,76 @@
+"""Sharded armadillo dryrun (VERDICT r2 item 9 / BASELINE config #5 prep).
+
+Runs the actual armadillo_bath_dynamic scene — two-way coupling, 3
+dynamic rigid bodies, the real 5x3x2 domain — through ShardedSolver on
+the 8-virtual-CPU mesh at a reduced resolution (particleRadius 0.04
+instead of 0.01 -> ~27K particles instead of 1.74M; the slab/grid
+geometry and the full migration + halo + psum machinery are identical).
+Validates capacity sizing, the init->repack->place path, and records the
+per-device occupancy balance the 1.74M run will see.
+"""
+
+import json
+
+import numpy as np
+import jax
+import pytest
+
+from sph_taichi_tpu import SimConfig, build_scene, build_solver
+from sph_taichi_tpu.parallel.sharding import ShardedSolver
+
+
+def _coarse_armadillo_cfg():
+    d = json.load(open("data/scenes/armadillo_bath_dynamic.json"))
+    d["Configuration"]["particleRadius"] = 0.04
+    # at r=0.04 the box padding grows to 0.16; pull the fluid block inside
+    # it so the spawn isn't clamped onto the padding planes (which would
+    # stack the outer shell into coincident particles)
+    d["FluidBlocks"][0]["start"] = [0.2, 0.2, 0.2]
+    d["FluidBlocks"][0]["end"] = [4.8, 1.5, 1.8]
+    return SimConfig(config_dict=d)
+
+
+def test_sharded_armadillo_dryrun():
+    assert len(jax.devices()) >= 8
+    cfg = _coarse_armadillo_cfg()
+    params, particles, _ = build_scene(cfg, scene_dir=".")
+    assert params.n_particles > 15_000   # still a real scene
+
+    sharded = ShardedSolver(params, n_devices=8, mig_cap=512, halo_cap=4096,
+                            loc_cap=params.n_pad)
+    state = sharded.initialize(particles)
+
+    # per-device owned-particle balance (documented: the x-slab split of
+    # the 5m domain puts the fluid uniformly across slabs)
+    mat = np.asarray(state.p.material).reshape(8, -1)
+    owned = (mat != -1).sum(axis=1)
+    print("per-device occupancy:", owned.tolist())
+    assert owned.sum() == params.n_particles
+    assert owned.min() > 0, "a slab owns nothing - bad decomposition"
+    # fluid spans the full x extent, so imbalance should be mild
+    assert owned.max() < 3 * owned.mean()
+
+    for i in range(3):
+        state, m = sharded.step(state)
+        assert int(m["migration_overflow"]) == 0, f"step {i}"
+        assert int(m["halo_overflow"]) == 0, f"step {i}"
+
+    gp = sharded.gather_particles(state)
+    x = np.asarray(gp.x)
+    assert x.shape[0] == params.n_particles
+    assert np.isfinite(x).all()
+    assert np.isfinite(np.asarray(gp.v)).all()
+
+    # cross-check against the single-device solver on the same scene
+    single = build_solver(params)
+    s_state = single.initialize(particles)
+    for _ in range(3):
+        s_state, _ = single.step(s_state)
+    sp = s_state.p
+    mask = np.asarray(sp.material) >= 0
+    x1 = np.asarray(sp.x)[mask]
+    from scipy.spatial import cKDTree
+    tree = cKDTree(x)
+    dist, idx = tree.query(x1, k=1)
+    assert len(np.unique(idx)) == len(idx), "matching is not a bijection"
+    assert dist.max() < 5e-4, f"position mismatch: max {dist.max()}"
