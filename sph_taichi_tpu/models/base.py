@@ -95,7 +95,13 @@ def bin_and_sort(p: Particles, params: SimParams, engine):
     p, sorted_ids = sort_by_cell(p, cell_ids, extra_transient=transient)
     starts = cell_offsets(sorted_ids, params.num_cells)
     ctx = engine.prepare(p.x, starts)
-    diag = {"max_cell_occupancy": max_cell_occupancy(starts)}
+    diag = {"max_cell_occupancy": max_cell_occupancy(starts),
+            # in-step sort/offsets invariants (round 3: guards against a
+            # large-program miscompile of the sort pipeline — cheap, and
+            # a silent sort corruption poisons every pair sum)
+            "sort_invariant_violated":
+                jnp.any(sorted_ids[1:] < sorted_ids[:-1])
+                | (starts[-1] != p.n)}
     if hasattr(ctx, "diag"):
         diag.update(ctx.diag)   # pallas capacity diagnostics
     return p, ctx, diag

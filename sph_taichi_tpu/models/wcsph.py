@@ -74,6 +74,16 @@ class WCSPHSolver(SPHBase):
         # way: is_dynamic_rigid never true, WCSPH.py:67)
         want_react = bool(params.dynamic_rigid_ids)
 
+        # strength reduction (round 3): every pressure/viscosity quotient
+        # below depends on ONE particle only, so it is computed once per
+        # particle here instead of once per candidate LANE inside the pair
+        # kernel (the padded tile evaluates ~5-20x more lanes than real
+        # pairs; VPU divides are the most expensive ops in the chain).
+        # Same formulas, same f32 values — parity is unchanged.
+        dpi_f = p.pressure / (p.density * p.density)     # WCSPH.py:56,62
+        p_r02 = p.pressure / (rho0 * rho0)               # WCSPH.py:58-65
+        m_nc = p.m / density_nc                          # WCSPH.py:114
+
         def term(fi, fj, d2, rn, dots):
             gradw_s = cubic_kernel_derivative_scalar(rn, h, dim)
             fluid_j = fj["material"] == MATERIAL_FLUID
@@ -92,40 +102,35 @@ class WCSPHSolver(SPHBase):
             d = 2.0 * (dim + 2.0)
             visc_coef = jnp.where(
                 fluid_j,
-                d * visc * (fj["m"] / fj["density_nc"]) * v_xy
+                d * visc * fj["m_nc"] * v_xy
                 / (r2 + 0.01 * h * h) * gradw_s,
                 0.0)
 
             # pressure (WCSPH.py:47-66) — clamped density + EOS pressure
-            dpi = fi["pressure"] / (fi["density"] * fi["density"])
-            dpj_fluid = fj["pressure"] / (fj["density"] * fj["density"])
-            dpj_solid = fi["pressure"] / (rho0 * rho0)  # mirror p_j := p_i
-            dpj = jnp.where(fluid_j, dpj_fluid, dpj_solid)
+            dpj = jnp.where(fluid_j, fj["dpi"], fi["p_r02"])  # mirror
             press_coef = jnp.where(
                 fluid_j | solid_j,
-                -rho0 * fj["m_V"] * (dpi + dpj) * gradw_s, 0.0)
+                -rho0 * fj["m_V"] * (fi["dpi"] + dpj) * gradw_s, 0.0)
 
             res = {"a": st_coef + visc_coef + press_coef}
             if want_react:
                 # reaction on dynamic-rigid centers (WCSPH.py:67-68 as gather)
-                dpi_k = fj["pressure"] / (fj["density"] * fj["density"]) \
-                    + fj["pressure"] / (rho0 * rho0)
+                dpi_k = fj["dpi"] + fj["p_r02"]
                 res["react"] = jnp.where(
                     fluid_j,
-                    -(rho0 * fi["m_V"] * dpi_k) * (rho0 / fi["density"])
-                    * gradw_s,
+                    -(rho0 * fi["m_V"] * dpi_k) * fi["rr0"] * gradw_s,
                     0.0)
             return res
 
         specs = {"a": "radial"}
+        fields = {"material": p.material, "m": p.m, "m_V": p.m_V,
+                  "dpi": dpi_f, "p_r02": p_r02, "m_nc": m_nc,
+                  "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]}
         if want_react:
             specs["react"] = "radial"
+            fields["rr0"] = rho0 / p.density
         out = self.engine.traverse(
-            ectx(ctx), p.x,
-            {"material": p.material, "m": p.m, "m_V": p.m_V,
-             "density": p.density, "density_nc": density_nc,
-             "pressure": p.pressure,
-             "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
+            ectx(ctx), p.x, fields,
             term, specs, mode="mxu", pair_dots=("v",))
         a_pair = jnp.stack(out["a"], axis=1)
 

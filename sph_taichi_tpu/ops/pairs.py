@@ -176,7 +176,14 @@ class GatherEngine:
 def make_engine(params):
     backend = params.backend
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "gather"
+        # pallas_blocks (v3) is the production TPU engine: measured
+        # bit-exact vs the gather oracle ON REAL TPU at occupancy 58 with
+        # deep multi-sheet windows, while the v2 row engine ("pallas")
+        # mis-sums on device at high occupancy under BOTH tuned schedules
+        # (interpret mode is exact -> device-only lowering issue; see
+        # docs/DESIGN.md round-3 notes).  v2 remains opt-in for A/B runs.
+        backend = "pallas_blocks" if jax.default_backend() == "tpu" \
+            else "gather"
     if backend == "pallas":
         from sph_taichi_tpu.ops.pallas_pairs import PallasEngine
         return PallasEngine(params)

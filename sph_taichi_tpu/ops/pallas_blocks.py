@@ -57,7 +57,7 @@ class BlockCtx(NamedTuple):
     span_tab: jnp.ndarray   # i32[n_groups, 4, 2] per-ix-col span [lo, hi)
     ctr_tab: jnp.ndarray    # i32[n_groups, 4, nbz+1] center-row batch starts
     col_tab: jnp.ndarray    # i32[n_groups, 2, 2] own column-pair [lo, hi)
-    zrange: jnp.ndarray     # i32[n_groups, 2] batch range [b0, b1)
+    zrange: jnp.ndarray     # i32[n_groups, 1, 2] batch range [b0, b1)
     diag: dict
 
 
@@ -180,8 +180,10 @@ class BlockEngine:
         b0 = jnp.minimum(zlo_all // z, nbz).astype(jnp.int32)
         b1 = jnp.minimum((zhi_all // z) + 1, nbz).astype(jnp.int32)
         b1 = jnp.maximum(b1, b0)
+        # 3D so the SMEM BlockSpec's trailing two dims equal the array's
+        # (Mosaic requires leading-dim-only blocking for SMEM tables)
         zrange = jnp.stack([b0, b1], axis=2).astype(jnp.int32) \
-            .reshape(self.n_groups, 2)
+            .reshape(self.n_groups, 1, 2)
 
         # diagnostics
         span_len = span_tab[:, :, 1] - span_tab[:, :, 0]
@@ -251,7 +253,7 @@ class BlockEngine:
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 2, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2), lambda i: (i, 0),
+                pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),   # lanes (HBM)
             ],
@@ -332,8 +334,8 @@ class BlockEngine:
                 jax.lax.fori_loop(
                     0, pl.cdiv(delta_g + col_len[c], 256), t_body, 0)
 
-            b0 = zr_ref[0, 0]
-            b1 = zr_ref[0, 1]
+            b0 = zr_ref[0, 0, 0]
+            b1 = zr_ref[0, 0, 1]
 
             def batch_body(t, _):
                 # widest window and center count of this batch decide the
@@ -393,8 +395,13 @@ class BlockEngine:
                             cnt = ctr_cnt[r] - cs_i * CSL
                             iota = jax.lax.broadcasted_iota(
                                 jnp.int32, (CSL, f_pad), 0)
-                            inv = jnp.zeros((CSL, f_pad), jnp.float32) \
-                                .at[:, 0].set(1e9).at[:, 3].set(-1.0)
+                            # lane-select, not .at[].set: scatter has no
+                            # Mosaic lowering inside the kernel
+                            li = jax.lax.broadcasted_iota(
+                                jnp.int32, (CSL, f_pad), 1)
+                            inv = jnp.where(
+                                li == 0, jnp.float32(1e9),
+                                jnp.where(li == 3, jnp.float32(-1.0), 0.0))
                             seg = jnp.where(iota < cnt, seg, inv)
                             cen_rows.append(seg)
                         cen = jnp.concatenate(cen_rows, axis=0)  # (64,f_pad)

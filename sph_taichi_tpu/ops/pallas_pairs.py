@@ -1,5 +1,17 @@
 """Pallas TPU pair-traversal engine v2: group/span/z-batch row streaming.
 
+.. warning:: round-3 status — NOT the production engine.  On real TPU
+   hardware this kernel mis-sums pair contributions at high cell
+   occupancy (measured: occupancy-58 clumps give densities 9-68% off the
+   gather oracle under both tuned schedules, with no capacity flag
+   raised; interpret mode on the same inputs is exact to 1e-5, so the
+   logic is right and the Mosaic lowering of something here — suspects:
+   dynamic-shift pltpu.roll, the dynamic do_pass fori with CB-sublane
+   dynamic slices — is not).  The v3 block engine (ops/pallas_blocks.py)
+   measures bit-exact on device under the same adversarial test and is
+   what "auto" now selects; v2 is kept for A/B and as the record of the
+   round-2 design.
+
 Why this exists: measured TPU behavior (docs/DESIGN.md) is that irregular
 gathers and scatters run at ~100-200 ms per 442K-particle traversal while
 sorts, shifts and DMA run at full bandwidth, so the TPU hot path never

@@ -130,8 +130,10 @@ class SimParams:
     # v3 block engine (ops/pallas_blocks.py) knobs
     blocks_z_batch: int = 2       # z-cells per center batch (Z)
     blocks_window_cap: int = 32   # lanes per (Z+2)-cell window (WC)
-    blocks_span_cap: int = 3072   # lanes per 4-row ix-column span DMA
-    # (sized for armadillo's 576-particle max rows: 4*576 + slab slack)
+    blocks_span_cap: int = 4096   # lanes per 4-row ix-column span DMA
+    # (sized for EVOLVED occupancy, not t=0: rows in both headline scenes
+    # reach ~864 particles as fluid crosses cell planes, so 4-row spans
+    # reach ~3456; 3072 silently clipped them at the old threshold)
     blocks_col_cap: int = 2048    # particles per own ix-column (out half)
     # spatial sharding (parallel/sharding.py): local extended grid override
     grid_num_override: tuple = ()
