@@ -204,6 +204,41 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
         cell_cap=int(cell_cap or config.get_tpu_cfg("cellCap", 32)),
     )
 
+    # ---- static capacity planning for the blocks engine (3D) ----
+    # Pallas capacities are compile-time constants; size them from the
+    # t=0 row occupancy with an evolution margin instead of one-size
+    # worst-case defaults (measured growth as fluid crosses cell planes:
+    # spans +12%, columns +25%, rows +50% — 1.7x covers all, and the
+    # loud runtime overflow flags catch anything beyond).  Dragon drops
+    # from a 4096-lane to a ~2816-lane span DMA per instance this way;
+    # armadillo (denser rows) gets ~4864 where the old default silently
+    # clipped at 3072.
+    if dim == 3:
+        xs = np_arrays["x"]
+        gn = params.grid_num
+        inv = np.float32(1.0) / np.float32(params.grid_size)
+        cellc = (xs * inv).astype(np.int32)
+        cellc = np.clip(cellc, 0, np.asarray(gn, np.int32) - 1)
+        rows = np.zeros((gn[0], gn[1]), np.int64)
+        np.add.at(rows, (cellc[:, 0], cellc[:, 1]), 1)
+        pad4 = np.pad(rows, ((0, 0), (1, 2)))
+        w4 = sum(pad4[:, k:k + gn[1]] for k in range(4))
+        pad2 = np.pad(rows, ((0, 0), (0, 1)))
+        w2 = pad2[:, :-1] + pad2[:, 1:]
+
+        def _round_up(v, q):
+            return int(-(-int(v) // q) * q)
+
+        span_need = _round_up(int(w4.max()) * 1.7 + 512, 256)
+        col_need = _round_up(int(w2.max()) * 1.7 + 64, 256)
+        import dataclasses as _dc
+        params = _dc.replace(
+            params,
+            blocks_span_cap=int(config.get_tpu_cfg(
+                "blocksSpanCap", min(max(span_need, 1024), 6144))),
+            blocks_col_cap=int(config.get_tpu_cfg(
+                "blocksColCap", min(max(col_need, 512), 4096))))
+
     particles = make_particles(np_arrays, n_pad, with_dfsph=(method in (2, 4)))
     objects = SceneObjects(object_collection=object_collection,
                            rigid_body_ids=tuple(rigid_body_ids),
