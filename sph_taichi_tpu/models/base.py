@@ -111,6 +111,48 @@ def bin_and_sort(p: Particles, params: SimParams, engine):
 # Akinci boundary volumes (sph_base.py:91-113)
 # ---------------------------------------------------------------------------
 
+# Above this solid count the dense O(S^2) path stops paying vs one full
+# engine traversal (dragon-dynamic S=18.5K is ~2 ms dense; the traversal
+# it replaces is ~15 ms at that scale, ~60 ms at armadillo's 1.73M).
+DENSE_SOLID_CAP = 32768
+
+
+def _boundary_volume_dense(p: Particles, params: SimParams, target_mask):
+    """Dense solid-solid rebuild of m_V for scenes with few solids.
+
+    The engine traversal in _boundary_volume walks EVERY particle's
+    neighborhood to update only the solid particles' m_V — at armadillo
+    scale that is a full 1.73M-particle traversal per step for 5349
+    solids.  Since only solid-solid pairs contribute (sph_base.py:104
+    sums over solid neighbors) and n_solid is a static scene constant,
+    an all-pairs W-sum over the compacted solid set is exact (pairs
+    beyond h contribute W=0) and orders of magnitude cheaper.  The
+    diagonal term rn=0 contributes W(0), which is exactly the self term
+    the reference adds explicitly (sph_base.py:101).  Pair math matches
+    the gather engine (direct subtraction, no matmul expansion).
+    Non-sharded runs only: compaction needs the whole solid set local.
+    """
+    h = params.support_radius
+    S = params.n_solid
+    (sidx,) = jnp.nonzero(p.material == MATERIAL_SOLID, size=S,
+                          fill_value=0)
+    xs = p.x[sidx]                                    # (S, dim)
+    T = 512
+    pad = (-S) % T
+    xs_rows = jnp.pad(xs, ((0, pad), (0, 0)))
+
+    def row_chunk(xr):
+        d = xr[:, None, :] - xs[None, :, :]
+        rn = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        return jnp.sum(cubic_kernel(rn, h, params.dim), axis=1)
+
+    delta = jax.lax.map(row_chunk,
+                        xs_rows.reshape(-1, T, params.dim)).reshape(-1)[:S]
+    m_v = 3.0 / delta
+    mv_full = jnp.zeros_like(p.m_V).at[sidx].set(m_v)
+    return p._replace(m_V=jnp.where(target_mask, mv_full, p.m_V))
+
+
 def _boundary_volume(p: Particles, ctx, engine, params: SimParams,
                      target_mask):
     """m_V = 3.0 / (W(0) + sum_{j in solid nbrs} W(|x_i - x_j|)).
@@ -118,6 +160,16 @@ def _boundary_volume(p: Particles, ctx, engine, params: SimParams,
     The 3.0 compensates missing boundary layers ("by trial and error",
     sph_base.py:98) — preserved for behavioral parity.
     """
+    if (0 < params.n_solid <= DENSE_SOLID_CAP
+            and not (isinstance(ctx, StepCtx)
+                     and ctx.ghost_sync is not None)):
+        return _boundary_volume_dense(p, params, target_mask)
+    return _boundary_volume_engine(p, ctx, engine, params, target_mask)
+
+
+def _boundary_volume_engine(p: Particles, ctx, engine, params: SimParams,
+                            target_mask):
+    """Engine-traversal m_V (sharded runs and solid-heavy scenes)."""
     h = params.support_radius
 
     def term(fi, fj, d2, rn, dots):

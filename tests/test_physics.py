@@ -220,3 +220,37 @@ def test_pcisph_incompressibility_after_impact():
     assert np.isfinite(x).all()
     assert x.min() >= params.padding - 1e-5
     assert dens.max() <= 1000.0 * 1.02, f"compressed to {dens.max()}"
+
+
+def test_boundary_volume_dense_matches_engine():
+    """The dense O(S^2) m_V path (models/base.py:_boundary_volume_dense,
+    used when n_solid <= DENSE_SOLID_CAP) must agree with the engine-
+    traversal path it replaces to summation-order tolerance — all pairs
+    beyond the support radius contribute W=0, so the two are the same
+    sum in a different order (sph_base.py:91-113 semantics)."""
+    from sph_taichi_tpu.models import base as mb
+
+    d = small_scene_dict(method=0)
+    d["RigidBlocks"] = [{
+        "objectId": 1,
+        "start": [0.55, 0.45, 0.25], "end": [0.8, 0.7, 0.5],
+        "translation": [0.0, 0.0, 0.0], "scale": [1.0, 1.0, 1.0],
+        "velocity": [0.0, 0.0, 0.0], "density": 500.0,
+        "color": [100, 100, 100], "isDynamic": True,
+    }]
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg)
+    assert 0 < params.n_solid <= mb.DENSE_SOLID_CAP
+    solver = build_solver(params)
+    p, ctx, _ = mb.bin_and_sort(particles, params, solver.engine)
+    tgt = p.material == MATERIAL_SOLID
+    pd = mb._boundary_volume_dense(p, params, tgt)
+    pe = mb._boundary_volume_engine(p, ctx, solver.engine, params, tgt)
+    s = np.asarray(p.material) == MATERIAL_SOLID
+    mv_d = np.asarray(pd.m_V)[s]
+    mv_e = np.asarray(pe.m_V)[s]
+    np.testing.assert_allclose(mv_d, mv_e, rtol=2e-6)
+    # non-target entries untouched by both
+    ns = ~s
+    np.testing.assert_array_equal(np.asarray(pd.m_V)[ns],
+                                  np.asarray(pe.m_V)[ns])

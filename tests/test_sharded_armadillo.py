@@ -41,9 +41,12 @@ def test_sharded_armadillo_dryrun():
     state = sharded.initialize(particles)
 
     # per-device owned-particle balance (documented: the x-slab split of
-    # the 5m domain puts the fluid uniformly across slabs)
+    # the 5m domain puts the fluid uniformly across slabs).  The
+    # distributed init returns a state that already carries halo ghosts
+    # (is_dynamic == -1) — count only owned rows.
     mat = np.asarray(state.p.material).reshape(8, -1)
-    owned = (mat != -1).sum(axis=1)
+    dyn = np.asarray(state.p.is_dynamic).reshape(8, -1)
+    owned = ((mat != -1) & (dyn != -1)).sum(axis=1)
     print("per-device occupancy:", owned.tolist())
     assert owned.sum() == params.n_particles
     assert owned.min() > 0, "a slab owns nothing - bad decomposition"
