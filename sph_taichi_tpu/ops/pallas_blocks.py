@@ -51,6 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 OUT_CHUNK = 512   # output write-back chunk (particles)
 CSL = 16          # center sublanes per own row per batch (Z*8 at Z=2)
 
+# Trace-time ablation switch for perf experiments (devserver jobs set
+# this then re-trace): "" = production, "nomath" = skip the center-sheet
+# pair-math loop, "noasm" = skip the 16-window candidate assembly,
+# "norolls" = assemble from the aligned slab base without pltpu.roll
+# (wrong results, correct DMA/load volume).  Never set in production.
+ABLATE = ""
+
 
 class BlockCtx(NamedTuple):
     win_tab: jnp.ndarray    # i32[n_groups, 16, 2*nbz] window bounds
@@ -357,7 +364,7 @@ class BlockEngine:
 
                 def sheet_body(sh, _):
                     # ---- assemble candidate tile (f_pad+1, 16*WC) ----
-                    for k in range(16):
+                    for k in (() if ABLATE == "noasm" else range(16)):
                         cspan = k // 4
                         wlo = win_ref[0, k, 2 * t]
                         whi = win_ref[0, k, 2 * t + 1]
@@ -369,7 +376,8 @@ class BlockEngine:
                                          jnp.int32(SPAN - SL))
                         la = pl.multiple_of(la, 128)
                         slab = win_scr[cspan, :, pl.ds(la, SL)]
-                        slab = pltpu.roll(slab, SL - (loc - la), axis=1)
+                        if ABLATE != "norolls":
+                            slab = pltpu.roll(slab, SL - (loc - la), axis=1)
                         seg = slab[:, :WC]
                         cand_scr[0:f_pad, k * WC:(k + 1) * WC] = seg
                         gi = seg[3:4, :]
@@ -477,7 +485,8 @@ class BlockEngine:
                                 iota < cnt, val, cur)
                         return 0
 
-                    jax.lax.fori_loop(0, pl.cdiv(mxc, CSL), ctr_sheet, 0)
+                    if ABLATE != "nomath":
+                        jax.lax.fori_loop(0, pl.cdiv(mxc, CSL), ctr_sheet, 0)
                     return 0
 
                 jax.lax.fori_loop(0, pl.cdiv(mx, WC), sheet_body, 0)
