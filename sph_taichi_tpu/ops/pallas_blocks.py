@@ -61,10 +61,16 @@ ABLATE = ""
 
 class BlockCtx(NamedTuple):
     win_tab: jnp.ndarray    # i32[n_groups, 16, 2*nbz] window bounds
-    span_tab: jnp.ndarray   # i32[n_groups, 4, 2] per-ix-col span [lo, hi)
+    span_tab: jnp.ndarray   # i32[n_groups, 8, 2] per-ix-col span [lo, hi);
+    #                         rows 0-3 own group, rows 4-7 next group (for
+    #                         the cross-group DMA prefetch)
     ctr_tab: jnp.ndarray    # i32[n_groups, 4, nbz+1] center-row batch starts
-    col_tab: jnp.ndarray    # i32[n_groups, 2, 2] own column-pair [lo, hi)
+    col_tab: jnp.ndarray    # i32[n_groups, 4, 2] own column-pair [lo, hi)
+    #                         (rows 0-1) + next group's pair (rows 2-3)
     zrange: jnp.ndarray     # i32[n_groups, 1, 2] batch range [b0, b1)
+    mxt_tab: jnp.ndarray    # i32[n_groups, 2, nbz] per-batch max window len
+    #                         (row 0, clamped >=1) / max center count (row 1,
+    #                         unclamped: 0 lets the kernel skip the batch)
     diag: dict
 
 
@@ -143,12 +149,18 @@ class BlockEngine:
                     else jnp.maximum(span_hi[d], hi_k)
                 span_any[d] = ok if span_any[d] is None \
                     else (span_any[d] | ok)
-                zl = jnp.where(ok, row_zlo[1 + ci::2, 1 + ri::2][:nbx, :nby],
-                               nz)
-                zh = jnp.where(ok, row_zhi[1 + ci::2, 1 + ri::2][:nbx, :nby],
-                               -1)
-                zlo_all = zl if zlo_all is None else jnp.minimum(zlo_all, zl)
-                zhi_all = zh if zhi_all is None else jnp.maximum(zhi_all, zh)
+                if ci in (0, 1) and ri in (0, 1):
+                    # batch-loop bounds from OWN rows only: batches where
+                    # only neighbors are occupied hold no centers and are
+                    # skipped anyway (mxt row 1)
+                    zl = jnp.where(
+                        ok, row_zlo[1 + ci::2, 1 + ri::2][:nbx, :nby], nz)
+                    zh = jnp.where(
+                        ok, row_zhi[1 + ci::2, 1 + ri::2][:nbx, :nby], -1)
+                    zlo_all = zl if zlo_all is None \
+                        else jnp.minimum(zlo_all, zl)
+                    zhi_all = zh if zhi_all is None \
+                        else jnp.maximum(zhi_all, zh)
 
         win_tab = jnp.stack(win_rows, axis=2).astype(jnp.int32) \
             .reshape(self.n_groups, 16, 2 * nbz)
@@ -211,8 +223,26 @@ class BlockEngine:
             # binding: a column range beyond the out half is clamped
             "group_overflow": jnp.max(colgrp_len) > self.half,
         }
-        return BlockCtx(win_tab=win_tab, span_tab=span_tab, ctr_tab=ctr_tab,
-                        col_tab=col_tab, zrange=zrange, diag=diag)
+
+        # per-batch max window length (clamped >= 1: sheet-loop bound) and
+        # max center count (unclamped: 0 -> the kernel skips the batch) —
+        # replaces 20 SMEM scalar reads + maxes per (group, batch) in-kernel
+        mxt_tab = jnp.stack(
+            [jnp.maximum(jnp.max(win_len, axis=1), 1),
+             jnp.max(batch_c, axis=1)], axis=1).astype(jnp.int32)
+
+        # doubled tables: rows for group i+1 let instance i prefetch the
+        # next group's span slabs while computing on its own (the kernel
+        # double-buffers win_scr; the last group prefetches nothing)
+        def _nxt(tab):
+            return jnp.concatenate(
+                [tab[1:], jnp.zeros_like(tab[:1])], axis=0)
+
+        span2 = jnp.concatenate([span_tab, _nxt(span_tab)], axis=1)
+        col2 = jnp.concatenate([col_tab, _nxt(col_tab)], axis=1)
+        return BlockCtx(win_tab=win_tab, span_tab=span2, ctr_tab=ctr_tab,
+                        col_tab=col2, zrange=zrange, mxt_tab=mxt_tab,
+                        diag=diag)
 
     # ------------------------------------------------------------------
     def traverse(self, ctx: BlockCtx, x, fields: Dict[str, jnp.ndarray],
@@ -254,19 +284,22 @@ class BlockEngine:
             in_specs=[
                 pl.BlockSpec((1, 16, 2 * nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 4, 2), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 8, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 4, nbz + 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2, 2), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 4, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2, nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),   # lanes (HBM)
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((4, f_pad, self.span), jnp.float32),  # col spans
+                pltpu.VMEM((2, 4, f_pad, self.span),
+                           jnp.float32),   # col spans, double-buffered
                 pltpu.VMEM((f_pad + 1, 16 * self.wc), jnp.float32),  # cand
                 pltpu.VMEM((2 * (self.half + 128), f_pad),
                            jnp.float32),                          # centers
@@ -276,7 +309,7 @@ class BlockEngine:
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(ctx.win_tab, ctx.span_tab, ctx.ctr_tab, ctx.col_tab, ctx.zrange,
-          lanes)
+          ctx.mxt_tab, lanes)
 
         outs = {}
         pos = 0
@@ -289,7 +322,7 @@ class BlockEngine:
         return outs
 
     # ------------------------------------------------------------------
-    def _kernel(self, win_ref, span_ref, ctr_ref, col_ref, zr_ref,
+    def _kernel(self, win_ref, span_ref, ctr_ref, col_ref, zr_ref, mxt_ref,
                 lanes_hbm, out_hbm, win_scr, cand_scr, ctr_scr, out_scr,
                 sems, *, term_fn, name_to_idx, out_cols, f_pad,
                 mxu=False, pair_dots=()):
@@ -302,23 +335,47 @@ class BlockEngine:
         col_hi = [col_ref[0, c, 1] for c in (0, 1)]
         col_len = [col_hi[c] - col_lo[c] for c in (0, 1)]
         grp_len = col_len[0] + col_len[1]
+        nxt_len = (col_ref[0, 2, 1] - col_ref[0, 2, 0]) \
+            + (col_ref[0, 3, 1] - col_ref[0, 3, 0])
 
-        bases = []
-        for cspan in range(4):
-            lo = span_ref[0, cspan, 0]
-            bases.append(pl.multiple_of((lo // 128) * 128, 128))
+        i_g = pl.program_id(0)
+        buf = jax.lax.rem(i_g, jnp.int32(2))
+        nbuf = jnp.int32(1) - buf
+
+        def span_base(row):
+            lo = span_ref[0, row, 0]
+            return pl.multiple_of((lo // 128) * 128, 128)
+
+        bases = [span_base(c) for c in range(4)]
+        nbases = [span_base(4 + c) for c in range(4)]
+
+        def span_copy(b, base, c):
+            return pltpu.make_async_copy(
+                lanes_hbm.at[:, pl.ds(base, SPAN)],
+                win_scr.at[b, c], sems.at[c])
+
+        # cross-group double buffering: group g's 4 span DMAs are started
+        # by instance g-1 (into buf g%2) while g-1 computes on buf (g-1)%2;
+        # instance g only waits.  The 4 sems alternate start->wait->start
+        # across instances, so start/wait guards must agree: both sides
+        # test grp_len(g) > 0 (from the doubled col table).
+        @pl.when((i_g == 0) & (grp_len > 0))
+        def _seed():
+            for c in range(4):
+                span_copy(buf, bases[c], c).start()
+
+        @pl.when(grp_len > 0)
+        def _wait():
+            for c in range(4):
+                span_copy(buf, bases[c], c).wait()
+
+        @pl.when((nxt_len > 0) & (i_g + 1 < self.n_groups))
+        def _prefetch():
+            for c in range(4):
+                span_copy(nbuf, nbases[c], c).start()
 
         @pl.when(grp_len > 0)
         def _run():
-            for cspan in range(4):
-                pltpu.make_async_copy(
-                    lanes_hbm.at[:, pl.ds(bases[cspan], SPAN)],
-                    win_scr.at[cspan], sems.at[cspan]).start()
-            for cspan in range(4):
-                pltpu.make_async_copy(
-                    lanes_hbm.at[:, pl.ds(bases[cspan], SPAN)],
-                    win_scr.at[cspan], sems.at[cspan]).wait()
-
             # ---- transpose each own column's particles to sublanes ----
             delta_c = []
             for c in (0, 1):
@@ -335,7 +392,7 @@ class BlockEngine:
                     dst = jnp.minimum(c * HALF_CTR + sb * 256,
                                       jnp.int32(2 * HALF_CTR - 256))
                     ctr_scr[pl.ds(dst, 256), :] = jnp.transpose(
-                        win_scr[c + 1, :, pl.ds(off, 256)])
+                        win_scr[buf, c + 1, :, pl.ds(off, 256)])
                     return 0
 
                 jax.lax.fori_loop(
@@ -347,21 +404,28 @@ class BlockEngine:
             def batch_body(t, _):
                 # widest window and center count of this batch decide the
                 # sheet loops; overflow is processed exactly, sheet by
-                # sheet (no silent pair drops)
-                mx = jnp.int32(1)
-                for k in range(16):
-                    mx = jnp.maximum(
-                        mx, win_ref[0, k, 2 * t + 1] - win_ref[0, k, 2 * t])
-                mxc = jnp.int32(1)
-                ctr_off = []
-                ctr_cnt = []
-                for r in range(4):
-                    cs = ctr_ref[0, r, t]
-                    ce = ctr_ref[0, r, t + 1]
-                    ctr_off.append(cs)
-                    ctr_cnt.append(ce - cs)
-                    mxc = jnp.maximum(mxc, ce - cs)
+                # sheet (no silent pair drops).  Both maxima are
+                # precomputed per batch in prepare() (mxt_tab); a batch
+                # with zero own centers is skipped whole — its masked
+                # stores were no-ops anyway.
+                mx = mxt_ref[0, 0, t]
+                mxc_real = mxt_ref[0, 1, t]
+                mxc = jnp.maximum(mxc_real, 1)
 
+                @pl.when(mxc_real > 0)
+                def _batch():
+                    ctr_off = []
+                    ctr_cnt = []
+                    for r in range(4):
+                        cs = ctr_ref[0, r, t]
+                        ce = ctr_ref[0, r, t + 1]
+                        ctr_off.append(cs)
+                        ctr_cnt.append(ce - cs)
+
+                    sheet_loop(t, mx, mxc, ctr_off, ctr_cnt)
+                return 0
+
+            def sheet_loop(t, mx, mxc, ctr_off, ctr_cnt):
                 def sheet_body(sh, _):
                     # ---- assemble candidate tile (f_pad+1, 16*WC) ----
                     for k in (() if ABLATE == "noasm" else range(16)):
@@ -375,7 +439,7 @@ class BlockEngine:
                         la = jnp.minimum((loc // 128) * 128,
                                          jnp.int32(SPAN - SL))
                         la = pl.multiple_of(la, 128)
-                        slab = win_scr[cspan, :, pl.ds(la, SL)]
+                        slab = win_scr[buf, cspan, :, pl.ds(la, SL)]
                         if ABLATE != "norolls":
                             slab = pltpu.roll(slab, SL - (loc - la), axis=1)
                         seg = slab[:, :WC]
@@ -490,7 +554,6 @@ class BlockEngine:
                     return 0
 
                 jax.lax.fori_loop(0, pl.cdiv(mx, WC), sheet_body, 0)
-                return 0
 
             jax.lax.fori_loop(b0, b1, batch_body, 0)
 
