@@ -132,8 +132,14 @@ class BlockEngine:
         row_zlo = jnp.min(jnp.where(occ, zidx, nz), axis=2)
         row_zhi = jnp.max(jnp.where(occ, zidx, -1), axis=2)
 
-        for ci in (-1, 0, 1, 2):
-            for ri in (-1, 0, 1, 2):
+        # window order k = (ri+1)*4 + (ci+1): iy-major, so the 12 windows
+        # relevant to own iy-row j (ri in {j-1, j, j+1}, every ci) are one
+        # contiguous 12*WC-lane slice of the candidate tile.  The 4th ci
+        # in each ri-group is geometrically dead for half the centers and
+        # is excluded by the d2 < h^2 mask (cell size == support radius,
+        # state.py grid_size, so a 2-column gap implies d >= h).
+        for ri in (-1, 0, 1, 2):
+            for ci in (-1, 0, 1, 2):
                 w = sp[1 + ci::2, 1 + ri::2][:nbx, :nby]     # (nbx,nby,nz+1)
                 ok = valid[1 + ci::2, 1 + ri::2][:nbx, :nby]
                 wlo = jnp.where(ok[..., None], w[:, :, lo_cols], 0)
@@ -173,17 +179,23 @@ class BlockEngine:
         span_tab = jnp.stack(span_cols, axis=2).astype(jnp.int32) \
             .reshape(self.n_groups, 4, 2)
 
-        # center rows (own 2x2): order (c=0,j=0),(0,1),(1,0),(1,1) — rid-
-        # ascending within each ix column; starts at batch boundaries
+        # center rows (own 2x2): iy-major order (c=0,j=0),(1,0),(0,1),(1,1)
+        # — row r has ix column c = r % 2, iy row j = r // 2, matching the
+        # half-tile split in the kernel (centers with iy=j pair against
+        # the contiguous ri in {j-1, j, j+1} window slice)
         ctr_rows = []
         col_rows = []
+        for ri2 in (0, 1):
+            for ci2 in (0, 1):
+                w = sp[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
+                ok = valid[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
+                ct = jnp.where(ok[..., None], w[:, :, ctr_cols], 0)
+                ctr_rows.append(ct)
         for ci2 in (0, 1):
             pair = []
             for ri2 in (0, 1):
                 w = sp[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
                 ok = valid[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
-                ct = jnp.where(ok[..., None], w[:, :, ctr_cols], 0)
-                ctr_rows.append(ct)
                 pair.append((jnp.where(ok, w[:, :, 0], 0),
                              jnp.where(ok, w[:, :, nz], 0)))
             # column range [lo, hi): iy0 row start .. iy0+1 row end (the
@@ -429,7 +441,7 @@ class BlockEngine:
                 def sheet_body(sh, _):
                     # ---- assemble candidate tile (f_pad+1, 16*WC) ----
                     for k in (() if ABLATE == "noasm" else range(16)):
-                        cspan = k // 4
+                        cspan = k % 4      # window order is iy-major
                         wlo = win_ref[0, k, 2 * t]
                         whi = win_ref[0, k, 2 * t + 1]
                         ws_lo = wlo + sh * WC
@@ -457,7 +469,7 @@ class BlockEngine:
                         # ---- assemble center tile (4*CSL, f_pad) ----
                         cen_rows = []
                         for r in range(4):
-                            c = r // 2
+                            c = r % 2      # iy-major row order
                             off = (delta_c[c] + ctr_off[r] + cs_i * CSL
                                    - col_lo[c] + c * HALF_CTR)
                             off = jnp.clip(off, c * HALF_CTR,
@@ -478,49 +490,65 @@ class BlockEngine:
                             cen_rows.append(seg)
                         cen = jnp.concatenate(cen_rows, axis=0)  # (64,f_pad)
 
-                        fi = {k_: cen[:, v:v + 1]
-                              for k_, v in name_to_idx.items()}
-                        fj = {k_: cand[v:v + 1, :]
-                              for k_, v in name_to_idx.items()}
-                        rvec = (fi["x0"] - fj["x0"],
-                                fi["x1"] - fj["x1"],
-                                fi["x2"] - fj["x2"])
-                        d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
-                              + rvec[2] * rvec[2])
-                        rn = jnp.sqrt(d2)
-                        mask = (valid_j & (d2 < h2)
-                                & (fi["gidx"] != fj["gidx"]))
+                        # half-tile pair math: own iy-row j centers (cen
+                        # rows 2j*CSL..) only see the 12 windows with
+                        # ri in {j-1, j, j+1} — one contiguous 12*WC-lane
+                        # slice in iy-major window order.  Two (2*CSL,
+                        # 12*WC) tiles instead of one (4*CSL, 16*WC):
+                        # 25% less padded pair math for the same pairs.
+                        # The geometrically dead 4th ci in each ri-group
+                        # is excluded by d2 < h2 (cell size == h exactly,
+                        # state.py grid_size).
+                        half_res = []
+                        for hj in (0, 1):
+                            lo_l = hj * 4 * WC
+                            hi_l = lo_l + 12 * WC
+                            cen_h = cen[hj * 2 * CSL:(hj + 1) * 2 * CSL, :]
+                            fi = {k_: cen_h[:, v:v + 1]
+                                  for k_, v in name_to_idx.items()}
+                            fj = {k_: cand[v:v + 1, lo_l:hi_l]
+                                  for k_, v in name_to_idx.items()}
+                            rvec = (fi["x0"] - fj["x0"],
+                                    fi["x1"] - fj["x1"],
+                                    fi["x2"] - fj["x2"])
+                            d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
+                                  + rvec[2] * rvec[2])
+                            rn = jnp.sqrt(d2)
+                            mask = (valid_j[:, lo_l:hi_l] & (d2 < h2)
+                                    & (fi["gidx"] != fj["gidx"]))
 
-                        if mxu:
-                            dots = {}
-                            for u in pair_dots:
-                                ub = name_to_idx[f"{u}0"]
-                                du = tuple(fi[f"{u}{dd}"] - fj[f"{u}{dd}"]
-                                           for dd in range(3))
-                                dots[u] = (du[0] * rvec[0]
-                                           + du[1] * rvec[1]
-                                           + du[2] * rvec[2])
-                            contribs = term_fn(fi, fj, d2, rn, dots)
-                        else:
-                            contribs = term_fn(fi, fj, rvec, rn)
-
-                        pieces = []
-                        for o, ncomp in out_cols:
-                            cc = contribs[o]
-                            if ncomp == 3 and mxu:      # radial
-                                cc = jnp.broadcast_to(cc, mask.shape)
-                                cc = jnp.where(mask, cc, 0.0)
-                                for rv in rvec:
-                                    pieces.append(jnp.sum(
-                                        cc * rv, axis=1, keepdims=True))
+                            if mxu:
+                                dots = {}
+                                for u in pair_dots:
+                                    du = tuple(
+                                        fi[f"{u}{dd}"] - fj[f"{u}{dd}"]
+                                        for dd in range(3))
+                                    dots[u] = (du[0] * rvec[0]
+                                               + du[1] * rvec[1]
+                                               + du[2] * rvec[2])
+                                contribs = term_fn(fi, fj, d2, rn, dots)
                             else:
-                                comps = cc if ncomp == 3 else (cc,)
-                                for comp in comps:
-                                    comp = jnp.broadcast_to(comp, mask.shape)
-                                    pieces.append(jnp.sum(
-                                        jnp.where(mask, comp, 0.0),
-                                        axis=1, keepdims=True))
-                        res = jnp.concatenate(pieces, axis=1)
+                                contribs = term_fn(fi, fj, rvec, rn)
+
+                            pieces = []
+                            for o, ncomp in out_cols:
+                                cc = contribs[o]
+                                if ncomp == 3 and mxu:      # radial
+                                    cc = jnp.broadcast_to(cc, mask.shape)
+                                    cc = jnp.where(mask, cc, 0.0)
+                                    for rv in rvec:
+                                        pieces.append(jnp.sum(
+                                            cc * rv, axis=1, keepdims=True))
+                                else:
+                                    comps = cc if ncomp == 3 else (cc,)
+                                    for comp in comps:
+                                        comp = jnp.broadcast_to(
+                                            comp, mask.shape)
+                                        pieces.append(jnp.sum(
+                                            jnp.where(mask, comp, 0.0),
+                                            axis=1, keepdims=True))
+                            half_res.append(jnp.concatenate(pieces, axis=1))
+                        res = jnp.concatenate(half_res, axis=0)
                         pad = 128 - res.shape[1]
                         if pad:
                             res = jnp.concatenate(
@@ -533,7 +561,7 @@ class BlockEngine:
                         # row's final batch into the *other* own row's
                         # already-written early rows)
                         for r in range(4):
-                            c = r // 2
+                            c = r % 2      # iy-major row order
                             off = (ctr_off[r] + cs_i * CSL - col_lo[c]
                                    + c * HALF_OUT)
                             off = jnp.clip(off, c * HALF_OUT,
