@@ -40,8 +40,10 @@ def bench_scene(scene, steps, warmup_chunks=1, backend=None):
     state = solver.initialize(particles)
 
     # scan-chunked stepping: amortizes dispatch overhead (the axon tunnel
-    # costs ~20-30ms per dispatch) exactly like production frame loops
-    chunk = min(steps, 20)
+    # costs ~34 ms per dispatch round-trip, measured j72) exactly like
+    # production frame loops; at 20-step chunks that overhead was ~1.7
+    # ms/step of the reported figure
+    chunk = min(steps, 100)
     frame_fn = solver.make_frame_fn(chunk)
 
     for _ in range(warmup_chunks):   # compile + warmup

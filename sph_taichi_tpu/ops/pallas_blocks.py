@@ -55,7 +55,10 @@ CSL = 16          # center sublanes per own row per batch (Z*8 at Z=2)
 # this then re-trace): "" = production, "nomath" = skip the center-sheet
 # pair-math loop, "noasm" = skip the 16-window candidate assembly,
 # "norolls" = assemble from the aligned slab base without pltpu.roll
-# (wrong results, correct DMA/load volume).  Never set in production.
+# (wrong results, correct DMA/load volume), "noloop" = skip the whole
+# batch loop (DMAs + transposes + writeback only), "nowb" = skip the
+# write-back sweeps, "notr" = skip the own-column transposes (garbage
+# centers, correct volume).  Never set in production.
 ABLATE = ""
 
 
@@ -316,7 +319,7 @@ class BlockEngine:
                 pltpu.VMEM((2 * (self.half + 128), f_pad),
                            jnp.float32),                          # centers
                 pltpu.VMEM((2 * (self.half + 64), 128), jnp.float32),  # out
-                pltpu.SemaphoreType.DMA((5,)),
+                pltpu.SemaphoreType.DMA((6,)),  # 4 spans + 2 writeback cols
             ],
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -407,8 +410,9 @@ class BlockEngine:
                         win_scr[buf, c + 1, :, pl.ds(off, 256)])
                     return 0
 
-                jax.lax.fori_loop(
-                    0, pl.cdiv(delta_g + col_len[c], 256), t_body, 0)
+                if ABLATE != "notr":
+                    jax.lax.fori_loop(
+                        0, pl.cdiv(delta_g + col_len[c], 256), t_body, 0)
 
             b0 = zr_ref[0, 0, 0]
             b1 = zr_ref[0, 0, 1]
@@ -583,47 +587,57 @@ class BlockEngine:
 
                 jax.lax.fori_loop(0, pl.cdiv(mx, WC), sheet_body, 0)
 
-            jax.lax.fori_loop(b0, b1, batch_body, 0)
+            if ABLATE != "noloop":
+                jax.lax.fori_loop(b0, b1, batch_body, 0)
 
             # ---- exact-tail writeback, one sweep per own column ----
-            def copy_chunk(c, src, size):
-                pltpu.make_async_copy(
+            # Two phases: start every chunk DMA for both columns, then
+            # wait them all.  One sem per column accumulates the bytes of
+            # all its copies (uniform size within each structural level),
+            # so the latency of the ~6 per-group copies overlaps instead
+            # of serializing (the serial start+wait version measured
+            # ~2.1 ms per traversal at dragon scale, j67 "nowb").  The
+            # exact-tail chunk overlaps the final full chunk's range with
+            # IDENTICAL source rows, so concurrent writes are benign.
+            def wb_copy(c, src, size):
+                return pltpu.make_async_copy(
                     out_scr.at[pl.ds(c * HALF_OUT + src, size), :],
                     out_hbm.at[pl.ds(col_lo[c] + src, size), :],
-                    sems.at[4]).start()
-                pltpu.make_async_copy(
-                    out_scr.at[pl.ds(c * HALF_OUT + src, size), :],
-                    out_hbm.at[pl.ds(col_lo[c] + src, size), :],
-                    sems.at[4]).wait()
+                    sems.at[4 + c])
 
-            for c in (0, 1):
-                L = jnp.minimum(col_len[c], jnp.int32(self.half))
+            def wb_phase(do):
+                for c in (0, 1):
+                    L = jnp.minimum(col_len[c], jnp.int32(self.half))
 
-                def out_body(k, _, c=c):
-                    copy_chunk(c, k * OUT_CHUNK, OUT_CHUNK)
-                    return 0
-
-                jax.lax.fori_loop(0, L // OUT_CHUNK, out_body, 0)
-
-                @pl.when((L % OUT_CHUNK > 0) & (L >= OUT_CHUNK))
-                def _tail(c=c, L=L):
-                    copy_chunk(c, L - OUT_CHUNK, OUT_CHUNK)
-
-                for lo, hi, size in ((64, OUT_CHUNK, 64), (8, 64, 8)):
-                    @pl.when((L >= lo) & (L < hi))
-                    def _level(c=c, L=L, size=size):
-                        def body(k, _, c=c, size=size):
-                            copy_chunk(c, k * size, size)
-                            return 0
-                        jax.lax.fori_loop(0, L // size, body, 0)
-
-                        @pl.when(L % size > 0)
-                        def _ov(c=c, L=L, size=size):
-                            copy_chunk(c, L - size, size)
-
-                @pl.when(L < 8)
-                def _tiny(c=c, L=L):
-                    def one(k, _, c=c):
-                        copy_chunk(c, k, 1)
+                    def out_body(k, _, c=c):
+                        do(wb_copy(c, k * OUT_CHUNK, OUT_CHUNK))
                         return 0
-                    jax.lax.fori_loop(0, L, one, 0)
+
+                    jax.lax.fori_loop(0, L // OUT_CHUNK, out_body, 0)
+
+                    @pl.when((L % OUT_CHUNK > 0) & (L >= OUT_CHUNK))
+                    def _tail(c=c, L=L):
+                        do(wb_copy(c, L - OUT_CHUNK, OUT_CHUNK))
+
+                    for lo, hi, size in ((64, OUT_CHUNK, 64), (8, 64, 8)):
+                        @pl.when((L >= lo) & (L < hi))
+                        def _level(c=c, L=L, size=size):
+                            def body(k, _, c=c, size=size):
+                                do(wb_copy(c, k * size, size))
+                                return 0
+                            jax.lax.fori_loop(0, L // size, body, 0)
+
+                            @pl.when(L % size > 0)
+                            def _ov(c=c, L=L, size=size):
+                                do(wb_copy(c, L - size, size))
+
+                    @pl.when(L < 8)
+                    def _tiny(c=c, L=L):
+                        def one(k, _, c=c):
+                            do(wb_copy(c, k, 1))
+                            return 0
+                        jax.lax.fori_loop(0, L, one, 0)
+
+            if ABLATE != "nowb":
+                wb_phase(lambda cp: cp.start())
+                wb_phase(lambda cp: cp.wait())
