@@ -360,9 +360,15 @@ class SPHBase:
         p, ctx, diag = bin_and_sort(state.p, params, self.engine)
         if params.n_solid > 0 and params.dynamic_rigid_ids:
             p = compute_moving_boundary_volume(p, ctx, self.engine, params)
+        self._boundary_fused = False
         p, sub_metrics = self.substep(p, ctx, state.dt)
         p, rigid_info = solve_rigid_body(p, state.rigid_rest_cm, params)
-        p = enforce_boundary(p, params, MATERIAL_FLUID)
+        # a solver may fold the fluid box clamp into its last traversal's
+        # in-kernel epilogue (WCSPH fused advect, trace-time flag); the
+        # clamp commutes with the rigid solve (disjoint rows) so skipping
+        # it here is exact
+        if not self._boundary_fused:
+            p = enforce_boundary(p, params, MATERIAL_FLUID)
         new_state = state._replace(
             p=p, t=state.t + state.dt, step_count=state.step_count + 1)
         fluid = p.is_fluid()

@@ -23,9 +23,11 @@ Behavioral parity notes (quirks intentionally preserved):
   neighbors — same pair terms, deterministic summation.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
-from sph_taichi_tpu.state import MATERIAL_FLUID, MATERIAL_SOLID, Particles
+from sph_taichi_tpu.state import (
+    MATERIAL_FLUID, MATERIAL_PAD, MATERIAL_SOLID, Particles)
 from sph_taichi_tpu.ops.kernels import (
     cubic_kernel, cubic_kernel_derivative_scalar)
 from sph_taichi_tpu.ops.pairs import vdot, vscale
@@ -41,11 +43,25 @@ class WCSPHSolver(SPHBase):
 
     def substep(self, p: Particles, ctx, dt):
         p = compute_densities(p, ctx, self.engine, self.params)
-        p = self.compute_forces(p, ctx)
-        p = self.advect(p, dt)
+        # fused path: advect + fluid boundary clamp run inside the forces
+        # kernel's writeback epilogue (measured ~10 ms/step of XLA-graph
+        # cost for the standalone elementwise stages at dragon scale —
+        # docs/DESIGN.md round 3).  The fluid box clamp commutes with the
+        # rigid shape-matching solve (disjoint particle rows), so running
+        # it before solve_rigid_body instead of after is order-exact.
+        # Sharded runs keep the unfused path (ghost-sync granularity).
+        fused = (getattr(self.engine, "supports_epilogue", False)
+                 and not (hasattr(ctx, "ghost_sync")
+                          and ctx.ghost_sync is not None))
+        p = self.compute_forces(p, ctx, dt=dt if fused else None)
+        if not fused:
+            p = self.advect(p, dt)
+        # trace-time flag read by SPHBase.step_fn right after this call
+        # (not a metric: sharded metric pytrees have a static structure)
+        self._boundary_fused = fused
         return p, {}
 
-    def compute_forces(self, p: Particles, ctx):
+    def compute_forces(self, p: Particles, ctx, dt=None):
         """Fused WCSPH.py:88-141 (non-pressure) + :46-85 (pressure) +
         :67-68 (rigid reaction, gather form) in one traversal."""
         params = self.params
@@ -129,9 +145,81 @@ class WCSPHSolver(SPHBase):
         if want_react:
             specs["react"] = "radial"
             fields["rr0"] = rho0 / p.density
+
+        epilogue = None
+        if dt is not None:
+            fields["is_dyn"] = p.is_dynamic
+            # Pallas kernels cannot capture array constants — everything
+            # below closes over Python scalars, componentwise.
+            gl = [float(v) for v in np.asarray(self.g)]
+            lo = float(params.padding)
+            hi = [float(s) - lo for s in params.domain_size]
+            cf = float(params.collision_factor)
+
+            def epi(fi, sums, sc):
+                dtv = sc[0]
+                fluid = fi["material"] == float(MATERIAL_FLUID)
+                solid = fi["material"] == float(MATERIAL_SOLID)
+                padm = fi["material"] == float(MATERIAL_PAD)
+                dynm = fi["is_dyn"] > 0.5
+                xs, vs = [], []
+                for k in range(3):
+                    # acc selection — same chain as the unfused path below
+                    a = gl[k] + jnp.where(fluid, sums["a"][:, k:k + 1], 0.0)
+                    if want_react:
+                        a = jnp.where(solid & dynm,
+                                      gl[k] + sums["react"][:, k:k + 1], a)
+                    a = jnp.where(solid & ~dynm, 0.0, a)
+                    a = jnp.where(padm, 0.0, a)
+                    # symplectic Euler (WCSPH.py:143-149)
+                    v = jnp.where(dynm, fi[f"v{k}"] + dtv * a, fi[f"v{k}"])
+                    x = jnp.where(dynm, fi[f"x{k}"] + dtv * v, fi[f"x{k}"])
+                    vs.append(v)
+                    xs.append(x)
+                # fluid domain-box clamp (sph_base.py:118-179 semantics,
+                # identical to models/base.py enforce_boundary)
+                over = [xs[k] > hi[k] for k in range(3)]
+                under = [xs[k] <= lo for k in range(3)]
+                nrm = [over[k].astype(jnp.float32)
+                       - under[k].astype(jnp.float32) for k in range(3)]
+                xn = [jnp.where(over[k], hi[k], xs[k]) for k in range(3)]
+                xn = [jnp.where(under[k], lo, xn[k]) for k in range(3)]
+                nlen = jnp.sqrt(nrm[0] * nrm[0] + nrm[1] * nrm[1]
+                                + nrm[2] * nrm[2])
+                nd = jnp.maximum(nlen, 1e-30)
+                nhat = [nrm[k] / nd for k in range(3)]
+                vdotn = (vs[0] * nhat[0] + vs[1] * nhat[1]
+                         + vs[2] * nhat[2])
+                vr = [vs[k] - (1.0 + cf) * vdotn * nhat[k]
+                      for k in range(3)]
+                vn = [jnp.where(nlen > 1e-6, vr[k], vs[k])
+                      for k in range(3)]
+                active = fluid & dynm
+                return {"x": jnp.concatenate(
+                            [jnp.where(active, xn[k], xs[k])
+                             for k in range(3)], axis=1),
+                        "v": jnp.concatenate(
+                            [jnp.where(active, vn[k], vs[k])
+                             for k in range(3)], axis=1)}
+
+            epilogue = (epi, {"x": 3, "v": 3}, jnp.stack([dt]))
+
         out = self.engine.traverse(
             ectx(ctx), p.x, fields,
-            term, specs, mode="mxu", pair_dots=("v",))
+            term, specs, mode="mxu", pair_dots=("v",),
+            **({"epilogue": epilogue} if epilogue is not None else {}))
+        if dt is not None:
+            x_new = jnp.stack(out["x"], axis=1)
+            v_new = jnp.stack(out["v"], axis=1)
+            n_real = params.n_fluid + params.n_solid
+            if n_real < p.n:
+                # padding particles live in the overflow cell (max cell
+                # id -> sorted to the tail) which no kernel group covers;
+                # their writeback rows are garbage.  Keep their parked
+                # state with a static-slice concat.
+                x_new = jnp.concatenate([x_new[:n_real], p.x[n_real:]], 0)
+                v_new = jnp.concatenate([v_new[:n_real], p.v[n_real:]], 0)
+            return p._replace(x=x_new, v=v_new)
         a_pair = jnp.stack(out["a"], axis=1)
 
         acc = self.g[None, :] + jnp.where(p.is_fluid()[:, None], a_pair, 0.0)
@@ -140,7 +228,7 @@ class WCSPHSolver(SPHBase):
             acc = jnp.where(p.is_dynamic_rigid()[:, None],
                             self.g[None, :] + a_react, acc)
         acc = jnp.where(p.is_static_rigid()[:, None], 0.0, acc)
-        acc = jnp.where((p.material == -1)[:, None], 0.0, acc)
+        acc = jnp.where((p.material == MATERIAL_PAD)[:, None], 0.0, acc)
         return p._replace(acc=acc)
 
     def advect(self, p: Particles, dt):

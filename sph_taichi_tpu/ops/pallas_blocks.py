@@ -82,6 +82,9 @@ class BlockEngine:
     diag_keys = ("max_span_len", "max_window_len", "max_batch_centers",
                  "max_cell_occupancy_engine", "max_colgrp_len",
                  "span_overflow", "window_overflow", "group_overflow")
+    # traverse() accepts an `epilogue` transform applied in-kernel to the
+    # finished per-center pair sums before writeback (see traverse docs)
+    supports_epilogue = True
 
     def __init__(self, params, interpret=False):
         assert params.dim == 3, "Block engine is 3D; 2D uses GatherEngine"
@@ -262,7 +265,29 @@ class BlockEngine:
     # ------------------------------------------------------------------
     def traverse(self, ctx: BlockCtx, x, fields: Dict[str, jnp.ndarray],
                  term_fn, out_specs: Dict[str, str],
-                 mode: str = "legacy", pair_dots=()):
+                 mode: str = "legacy", pair_dots=(), epilogue=None):
+        """Pair traversal; with ``epilogue`` the per-center pair sums are
+        transformed IN-KERNEL before writeback and the transformed values
+        are returned instead.
+
+        epilogue = (epi_fn, epi_specs, scalars):
+          - ``epi_fn(fi, sums, sc) -> {name: (R, ncomp) array}`` runs on
+            row chunks of finished centers.  ``fi`` maps every traversal
+            field name (plus x0/x1/x2/gidx) to its (R, 1) center column,
+            ``sums`` maps each out_specs name to its (R, ncomp) pair sum,
+            ``sc`` is a list of 16 traced scalars from ``scalars``.
+          - ``epi_specs``: {name: ncomp} for the returned outputs
+            (total width <= 64).
+          - ``scalars``: f32 vector (<= 16) of traced per-step values
+            (e.g. dt) — everything else should be closed over as Python
+            constants.
+
+        Purpose: elementwise consumers of traversal outputs (EOS, advect,
+        boundary clamp) measured ~10 ms/step at dragon scale as separate
+        XLA ops regardless of their flop count (docs/DESIGN.md round 3,
+        j48/j50/j73); folding them into the kernel's writeback path
+        removes them from the XLA program entirely.
+        """
         n = x.shape[0]
         field_names = sorted(fields.keys())
         gidx = jnp.arange(n, dtype=jnp.float32)
@@ -286,10 +311,20 @@ class BlockEngine:
         for o in out_names:
             out_cols.append((o, 3 if out_specs[o] in ("vec", "radial") else 1))
 
+        sc_arr = jnp.zeros((1, 16), jnp.float32)
+        epi_fn, epi_cols = None, None
+        if epilogue is not None:
+            epi_fn, epi_specs, scalars = epilogue
+            epi_cols = [(o, int(epi_specs[o])) for o in sorted(epi_specs)]
+            assert sum(nc for _, nc in out_cols) <= 64
+            assert sum(nc for _, nc in epi_cols) <= 64
+            scalars = jnp.asarray(scalars, jnp.float32).reshape(-1)
+            sc_arr = sc_arr.at[0, :scalars.shape[0]].set(scalars)
+
         kernel = functools.partial(
             self._kernel, term_fn=term_fn, name_to_idx=name_to_idx,
             out_cols=out_cols, f_pad=f_pad, mxu=(mode == "mxu"),
-            pair_dots=tuple(pair_dots))
+            pair_dots=tuple(pair_dots), epi_fn=epi_fn, epi_cols=epi_cols)
 
         nbz = self.nbz
         out = pl.pallas_call(
@@ -309,6 +344,8 @@ class BlockEngine:
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 2, nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 16), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),   # epilogue scalars
                 pl.BlockSpec(memory_space=pl.ANY),   # lanes (HBM)
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -324,11 +361,14 @@ class BlockEngine:
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(ctx.win_tab, ctx.span_tab, ctx.ctr_tab, ctx.col_tab, ctx.zrange,
-          ctx.mxt_tab, lanes)
+          ctx.mxt_tab, sc_arr, lanes)
 
+        # with an epilogue the returned values live in lanes [64, 64+W)
+        # (pair sums stay in [0, 64) so the in-place transform is
+        # idempotent on the overlapping exact-tail chunk)
         outs = {}
-        pos = 0
-        for o, ncomp in out_cols:
+        pos = 64 if epilogue is not None else 0
+        for o, ncomp in (epi_cols if epilogue is not None else out_cols):
             if ncomp == 3:
                 outs[o] = (out[:n, pos], out[:n, pos + 1], out[:n, pos + 2])
             else:
@@ -338,9 +378,9 @@ class BlockEngine:
 
     # ------------------------------------------------------------------
     def _kernel(self, win_ref, span_ref, ctr_ref, col_ref, zr_ref, mxt_ref,
-                lanes_hbm, out_hbm, win_scr, cand_scr, ctr_scr, out_scr,
-                sems, *, term_fn, name_to_idx, out_cols, f_pad,
-                mxu=False, pair_dots=()):
+                sc_ref, lanes_hbm, out_hbm, win_scr, cand_scr, ctr_scr,
+                out_scr, sems, *, term_fn, name_to_idx, out_cols, f_pad,
+                mxu=False, pair_dots=(), epi_fn=None, epi_cols=None):
         Z, nbz, WC, SL, SPAN, h2 = self.z, self.nbz, self.wc, self.sl, \
             self.span, self.h2
         HALF_CTR = self.half + 128
@@ -589,6 +629,46 @@ class BlockEngine:
 
             if ABLATE != "noloop":
                 jax.lax.fori_loop(b0, b1, batch_body, 0)
+
+            # ---- in-kernel epilogue on finished per-center sums ----
+            # Row-chunk sweep per own column: read the pair-sum lanes
+            # [0, 64) plus the center's own fields (ctr_scr row q sits at
+            # sublane offset delta_c[c] + q, alignment-free), apply the
+            # user transform, and write the results into lanes [64, ..).
+            # The exact-tail chunk (q clamped to L - EPR) re-reads only
+            # untransformed sum lanes, so re-applying it is idempotent.
+            # Rows past L compute garbage that the writeback never ships.
+            if epi_fn is not None:
+                EPR = min(256, self.half)
+                sc_vals = [sc_ref[0, j] for j in range(16)]
+
+                def epi_chunk(k, _, c, L):
+                    q = jnp.maximum(jnp.minimum(k * EPR, L - EPR), 0)
+                    off_o = c * HALF_OUT + q
+                    srow = out_scr[pl.ds(off_o, EPR), :]
+                    cen = ctr_scr[pl.ds(c * HALF_CTR + delta_c[c] + q,
+                                        EPR), :]
+                    fi = {nm: cen[:, v:v + 1]
+                          for nm, v in name_to_idx.items()}
+                    sums = {}
+                    pos = 0
+                    for o, ncomp in out_cols:
+                        sums[o] = srow[:, pos:pos + ncomp]
+                        pos += ncomp
+                    res = epi_fn(fi, sums, sc_vals)
+                    packed = jnp.concatenate(
+                        [res[o] for o, _ in epi_cols], axis=1)
+                    pw = packed.shape[1]
+                    out_scr[pl.ds(off_o, EPR), :] = jnp.concatenate(
+                        [srow[:, :64], packed,
+                         jnp.zeros((EPR, 64 - pw), jnp.float32)], axis=1)
+                    return 0
+
+                for c in (0, 1):
+                    L = jnp.minimum(col_len[c], jnp.int32(self.half))
+                    jax.lax.fori_loop(
+                        0, pl.cdiv(jnp.maximum(L, 1), EPR),
+                        functools.partial(epi_chunk, c=c, L=L), 0)
 
             # ---- exact-tail writeback, one sweep per own column ----
             # Two phases: start every chunk DMA for both columns, then
