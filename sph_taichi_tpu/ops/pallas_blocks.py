@@ -58,7 +58,9 @@ CSL = 16          # center sublanes per own row per batch (Z*8 at Z=2)
 # (wrong results, correct DMA/load volume), "noloop" = skip the whole
 # batch loop (DMAs + transposes + writeback only), "nowb" = skip the
 # write-back sweeps, "notr" = skip the own-column transposes (garbage
-# centers, correct volume).  Never set in production.
+# centers, correct volume), "noepi" = skip the epilogue transform
+# (raw pair sums land in the epilogue's output lanes reader — garbage
+# results, isolates the epilogue's cost).  Never set in production.
 ABLATE = ""
 
 
@@ -638,7 +640,7 @@ class BlockEngine:
             # The exact-tail chunk (q clamped to L - EPR) re-reads only
             # untransformed sum lanes, so re-applying it is idempotent.
             # Rows past L compute garbage that the writeback never ships.
-            if epi_fn is not None:
+            if epi_fn is not None and ABLATE != "noepi":
                 EPR = min(256, self.half)
                 sc_vals = [sc_ref[0, j] for j in range(16)]
 

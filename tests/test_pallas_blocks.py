@@ -137,3 +137,54 @@ def test_block_bundled_scene_capacities(scene):
     # (max t=0 occupancy 12), so a few 4-cell windows exceed WC=32 and
     # sheet.  Bound the magnitude instead of requiring zero.
     assert int(diag["max_window_len"]) <= 2 * 32, diag
+
+
+def test_block_epilogue_transform(rng):
+    """Engine-level epilogue contract: the in-kernel transform of
+    finished pair sums must equal applying the same transform to the
+    plain traversal outputs in XLA — including on multi-sheet overflow
+    layouts and rows hit by the idempotent exact-tail chunk overlap."""
+    import jax.numpy as _jnp
+    from sph_taichi_tpu.models.base import bin_and_sort as _bas
+    from sph_taichi_tpu.ops.pairs import make_engine as _me
+    from sph_taichi_tpu.ops.kernels import cubic_kernel as _ck
+
+    d = small_scene_dict(method=0)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=256, cell_cap=256)
+    x = np.asarray(particles.x).copy()
+    real = np.asarray(particles.material) != -1
+    cell = params.grid_size
+    c0 = np.array([4, 4, 4]) * cell + 0.05 * cell
+    m = min(int(real.sum()), 150)
+    x[:m] = (c0 + rng.uniform(0, 0.9 * cell, size=(m, 3))).astype(np.float32)
+    particles = particles._replace(x=_jnp.asarray(x))
+
+    h = params.support_radius
+    p2 = dataclasses.replace(params, backend="pallas_blocks_interpret")
+    eng = _me(p2)
+    ps, ctx, _ = _bas(particles, p2, eng)
+
+    def term(fi, fj, d2, rn, dots):
+        return {"den": fj["m_V"] * _ck(rn, h, p2.dim)}
+
+    def epi(fi, sums, sc):
+        # arbitrary mix of fields, sums, and a traced scalar
+        den = sums["den"]
+        return {"y": jnp.concatenate(
+            [den * sc[0] + fi["m_V"], den - fi["x1"], den], axis=1)}
+
+    plain = eng.traverse(ctx, ps.x, {"m_V": ps.m_V}, term,
+                         {"den": "scalar"}, mode="mxu")
+    fused = eng.traverse(ctx, ps.x, {"m_V": ps.m_V}, term,
+                         {"den": "scalar"}, mode="mxu",
+                         epilogue=(epi, {"y": 3},
+                                   jnp.asarray([2.5], jnp.float32)))
+    real_s = np.asarray(ps.material) != -1
+    den = np.asarray(plain["den"])
+    want = [den * 2.5 + np.asarray(ps.m_V),
+            den - np.asarray(ps.x[:, 1]), den]
+    got = [np.asarray(c) for c in fused["y"]]
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g[real_s], w[real_s],
+                                   rtol=1e-6, atol=1e-7)
