@@ -26,11 +26,13 @@ deterministic.
 
 from typing import Any, Callable, NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from sph_taichi_tpu.state import (
-    MATERIAL_FLUID, MATERIAL_SOLID, Particles, SimParams, SimState)
+    MATERIAL_FLUID, MATERIAL_PAD, MATERIAL_SOLID, Particles, SimParams,
+    SimState)
 from sph_taichi_tpu.ops.kernels import (
     cubic_kernel, cubic_kernel_derivative_scalar)
 from sph_taichi_tpu.ops.grid import (
@@ -407,8 +409,18 @@ def compute_densities(p: Particles, ctx, engine, params: SimParams):
     return sync_fields(ctx, p, ["density"])
 
 
+def restore_tail(col, fallback, params):
+    """Kernel groups never cover overflow-cell (padding) rows, so their
+    epilogue outputs are garbage; restore them from ``fallback`` with a
+    static-slice concat (padding sorts to the tail — max cell id)."""
+    n_real = params.n_fluid + params.n_solid
+    if n_real < col.shape[0]:
+        return jnp.concatenate([col[:n_real], fallback[n_real:]], 0)
+    return col
+
+
 def compute_non_pressure_forces(p: Particles, ctx, engine,
-                                params: SimParams, g):
+                                params: SimParams, g, predict_dt=None):
     """Gravity for every dynamic particle; surface tension + XSPH-style
     viscosity pair sums for fluid centers (WCSPH.py:88-141 ==
     DFSPH.py:50-102).
@@ -446,10 +458,45 @@ def compute_non_pressure_forces(p: Particles, ctx, engine,
             0.0)
         return {"a": st_coef + visc_coef}
 
+    fields = {"material": p.material, "m": p.m, "density": p.density,
+              "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]}
+
+    if predict_dt is not None:
+        # fused variant (DFSPH): the acc selection chain AND the
+        # fluid velocity kick v += dt*acc (predict_velocity,
+        # DFSPH.py:392-397) run in the kernel epilogue; f_pad is 16
+        # either way so the extra fields are free
+        fields["is_dyn"] = p.is_dynamic
+        gl = [float(val) for val in np.asarray(g)]
+
+        def epi(fi, sums, sc):
+            dtv = sc[0]
+            fluid = fi["material"] == float(MATERIAL_FLUID)
+            solid = fi["material"] == float(MATERIAL_SOLID)
+            padm = fi["material"] == float(MATERIAL_PAD)
+            dynm = fi["is_dyn"] > 0.5
+            aout, vout = [], []
+            for k in range(3):
+                a = gl[k] + jnp.where(fluid, sums["a"][:, k:k + 1], 0.0)
+                a = jnp.where(solid & ~dynm, 0.0, a)
+                a = jnp.where(padm, 0.0, a)
+                aout.append(a)
+                vout.append(jnp.where(fluid & dynm,
+                                      fi[f"v{k}"] + dtv * a, fi[f"v{k}"]))
+            return {"acc": jnp.concatenate(aout, axis=1),
+                    "v": jnp.concatenate(vout, axis=1)}
+
+        out = engine.traverse(
+            ectx(ctx), p.x, fields, term, {"a": "radial"}, mode="mxu",
+            pair_dots=("v",),
+            epilogue=(epi, {"acc": 3, "v": 3}, jnp.stack([predict_dt])))
+        acc = restore_tail(jnp.stack(out["acc"], axis=1),
+                           jnp.zeros_like(p.acc), params)
+        v = restore_tail(jnp.stack(out["v"], axis=1), p.v, params)
+        return p._replace(acc=acc, v=v)
+
     out = engine.traverse(
-        ectx(ctx), p.x,
-        {"material": p.material, "m": p.m, "density": p.density,
-         "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
+        ectx(ctx), p.x, fields,
         term, {"a": "radial"}, mode="mxu", pair_dots=("v",))
     a_pair = jnp.stack(out["a"], axis=1)
 

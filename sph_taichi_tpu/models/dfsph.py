@@ -38,7 +38,7 @@ from sph_taichi_tpu.ops.kernels import (
 from sph_taichi_tpu.ops.pairs import vdot, vscale
 from sph_taichi_tpu.models.base import (
     SPHBase, compute_densities, compute_non_pressure_forces, ectx,
-    sync_fields)
+    restore_tail as _restore_tail, sync_fields)
 
 
 class DFSPHSolver(SPHBase):
@@ -50,6 +50,19 @@ class DFSPHSolver(SPHBase):
         self.max_error = 0.05           # % , DFSPH.py:20
         self.enable_divergence_solver = True
         super().__init__(params)
+        # W(0) as a Python constant for the fused epilogue (jnp inside
+        # jit is traced; this is computed eagerly at build time)
+        self._w0 = float(cubic_kernel(jnp.zeros(()),
+                                      params.support_radius, params.dim))
+
+    def _fused(self, ctx):
+        """Route elementwise consumers through the engine's in-kernel
+        epilogue (docs/DESIGN.md round 3: standalone XLA elementwise
+        stages cost ~10 ms/step at dragon scale regardless of flops).
+        Sharded runs keep the unfused path (ghost-sync granularity)."""
+        return (getattr(self.engine, "supports_epilogue", False)
+                and not (hasattr(ctx, "ghost_sync")
+                         and ctx.ghost_sync is not None))
 
     # ------------------------------------------------------------------
     def density_and_factor(self, p: Particles, ctx):
@@ -70,10 +83,36 @@ class DFSPHSolver(SPHBase):
             return {"den": den,
                     "grad": jnp.where(real, -gcoef, 0.0), "sq": sq}
 
+        fields = {"material": p.material, "m_V": p.m_V}
+        specs = {"den": "scalar", "grad": "radial", "sq": "scalar"}
+        rho0 = float(self.density_0)
+        w0 = self._w0
+
+        if self._fused(ctx):
+            fields["den0"] = p.density
+
+            def epi(fi, sums, sc):
+                fluid = fi["material"] == float(MATERIAL_FLUID)
+                den = fi["m_V"] * w0 + sums["den"]
+                density = jnp.where(fluid, den * rho0, fi["den0"])
+                g = sums["grad"]
+                s = (sums["sq"] + g[:, 0:1] * g[:, 0:1]
+                     + g[:, 1:2] * g[:, 1:2] + g[:, 2:3] * g[:, 2:3])
+                factor = jnp.where(s > 1e-6, -1.0 / s, 0.0)
+                return {"density": density,
+                        "factor": jnp.where(fluid, factor, 0.0)}
+
+            out = self.engine.traverse(
+                ectx(ctx), p.x, fields, term, specs, mode="mxu",
+                epilogue=(epi, {"density": 1, "factor": 1},
+                          jnp.zeros((1,), jnp.float32)))
+            density = _restore_tail(out["density"], p.density, params)
+            factor = _restore_tail(out["factor"],
+                                   jnp.zeros_like(p.dfsph_factor), params)
+            return p._replace(density=density, dfsph_factor=factor)
+
         out = self.engine.traverse(
-            ectx(ctx), p.x, {"material": p.material, "m_V": p.m_V},
-            term, {"den": "scalar", "grad": "radial", "sq": "scalar"},
-            mode="mxu")
+            ectx(ctx), p.x, fields, term, specs, mode="mxu")
 
         den = p.m_V * cubic_kernel(jnp.zeros((), p.x.dtype), h, params.dim) \
             + out["den"]
@@ -126,14 +165,29 @@ class DFSPHSolver(SPHBase):
             div = jnp.where(real, fj["m_V"] * gradw_s * dots["v"], 0.0)
             return {"div": div, "cnt": jnp.where(real, 1.0, 0.0)}
 
+        fields = {"material": p.material, "m_V": p.m_V,
+                  "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]}
+        specs = {"div": "scalar", "cnt": "scalar"}
+        min_nbr = float(20 if params.dim == 3 else 7)
+
+        if self._fused(ctx):
+            def epi(fi, sums, sc):
+                adv = jnp.maximum(sums["div"], 0.0)
+                adv = jnp.where(sums["cnt"] < min_nbr, 0.0, adv)
+                return {"adv": jnp.where(
+                    fi["material"] == float(MATERIAL_FLUID), adv, 0.0)}
+
+            out = self.engine.traverse(
+                ectx(ctx), p.x, fields, term, specs, mode="mxu",
+                pair_dots=("v",),
+                epilogue=(epi, {"adv": 1}, jnp.zeros((1,), jnp.float32)))
+            return _restore_tail(out["adv"], jnp.zeros_like(p.density),
+                                 params)
+
         out = self.engine.traverse(
-            ectx(ctx), p.x,
-            {"material": p.material, "m_V": p.m_V,
-             "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]},
-            term, {"div": "scalar", "cnt": "scalar"},
+            ectx(ctx), p.x, fields, term, specs,
             mode="mxu", pair_dots=("v",))
         adv = jnp.maximum(out["div"], 0.0)
-        min_nbr = 20 if params.dim == 3 else 7
         adv = jnp.where(out["cnt"] < min_nbr, 0.0, adv)
         return jnp.where(p.is_fluid(), adv, 0.0)
 
@@ -150,10 +204,28 @@ class DFSPHSolver(SPHBase):
                                      fj["m_V"] * gradw_s * dots["v"],
                                      0.0)}
 
+        fields = {"material": p.material, "m_V": p.m_V,
+                  "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]}
+        rho0 = float(self.density_0)
+
+        if self._fused(ctx):
+            fields["density"] = density
+
+            def epi(fi, sums, sc):
+                adv = fi["density"] / rho0 + sc[0] * sums["div"]
+                adv = jnp.maximum(adv, 1.0)
+                return {"adv": jnp.where(
+                    fi["material"] == float(MATERIAL_FLUID), adv, 0.0)}
+
+            out = self.engine.traverse(
+                ectx(ctx), p.x, fields, term, {"div": "scalar"},
+                mode="mxu", pair_dots=("v",),
+                epilogue=(epi, {"adv": 1}, jnp.stack([dt])))
+            return _restore_tail(out["adv"], jnp.zeros_like(density),
+                                 params)
+
         out = self.engine.traverse(
-            ectx(ctx), p.x,
-            {"material": p.material, "m_V": p.m_V,
-             "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]},
+            ectx(ctx), p.x, fields,
             term, {"div": "scalar"}, mode="mxu", pair_dots=("v",))
         adv = density / self.density_0 + dt * out["div"]
         adv = jnp.maximum(adv, 1.0)
@@ -169,14 +241,27 @@ class DFSPHSolver(SPHBase):
             err = jax.lax.psum(err, self.params.axis_name)
         return err / self.params.n_fluid
 
+    # A/B knob: fusing the Jacobi v-update into _solver_dv's epilogue
+    # removes the per-iteration XLA elementwise stage but adds v (and
+    # acc/is_dyn for reaction scenes) as traversal fields, pushing that
+    # traversal's f_pad from 8 to 16 (double span-DMA/assembly volume).
+    # Device A/B decides the default.
+    fuse_solver_dv = True
+
     # ------------------------------------------------------------------
-    def _solver_dv(self, p, ctx, kappa, with_reaction, dt):
+    def _solver_dv(self, p, ctx, kappa, with_reaction, dt,
+                   v=None, acc=None):
         """One Jacobi velocity update:
         dv_i = -dt * sum_fluid_j [k_i + k_j] grad_p_j
                -dt * sum_solid_j k_i grad_p_j         (gated on m_eps)
         plus (optionally) the rigid reaction sum for dynamic-rigid centers
         (gather form of DFSPH.py:388-389):
         da_c = sum_fluid_k (|k_k|>eps) k_k * m_V_c * gradW(x_c-x_k) * rho_k/rho_c
+
+        With ``v`` given (fused mode) the velocity update — and, with
+        reaction, the acceleration accumulation — runs in the kernel
+        epilogue and the UPDATED arrays are returned: (v', acc'|None).
+        Otherwise returns (dv, react|None) as raw sums.
         """
         params = self.params
         h = params.support_radius
@@ -213,6 +298,47 @@ class DFSPHSolver(SPHBase):
         if with_reaction:
             fields["density"] = p.density
             specs["react"] = "radial"
+
+        if v is not None:
+            for k in range(3):
+                fields[f"v{k}"] = v[:, k]
+            if with_reaction:
+                fields["is_dyn"] = p.is_dynamic
+                for k in range(3):
+                    fields[f"a{k}"] = acc[:, k]
+
+            def epi(fi, sums, sc):
+                dtv = sc[0]
+                fluid = fi["material"] == float(MATERIAL_FLUID)
+                vout = [jnp.where(
+                            fluid,
+                            fi[f"v{k}"] + dtv * sums["dv"][:, k:k + 1],
+                            fi[f"v{k}"]) for k in range(3)]
+                res = {"v": jnp.concatenate(vout, axis=1)}
+                if with_reaction:
+                    dynr = ((fi["material"] == float(MATERIAL_SOLID))
+                            & (fi["is_dyn"] > 0.5))
+                    aout = [jnp.where(
+                                dynr,
+                                fi[f"a{k}"] + sums["react"][:, k:k + 1],
+                                fi[f"a{k}"]) for k in range(3)]
+                    res["acc"] = jnp.concatenate(aout, axis=1)
+                return res
+
+            epi_specs = {"v": 3}
+            if with_reaction:
+                epi_specs["acc"] = 3
+            out = self.engine.traverse(
+                ectx(ctx), p.x, fields, term, specs, mode="mxu",
+                epilogue=(epi, epi_specs, jnp.stack([dt])))
+            v_new = _restore_tail(jnp.stack(out["v"], axis=1), v,
+                                  self.params)
+            acc_new = None
+            if with_reaction:
+                acc_new = _restore_tail(jnp.stack(out["acc"], axis=1),
+                                        acc, self.params)
+            return v_new, acc_new
+
         out = self.engine.traverse(ectx(ctx), p.x, fields, term, specs,
                                    mode="mxu")
         dv = dt * jnp.stack(out["dv"], axis=1)
@@ -226,12 +352,16 @@ class DFSPHSolver(SPHBase):
         eta = (1.0 / dt) * self.max_error_V * 0.01 * self.density_0
         adv0 = self._sync_arr(ctx, p, self._density_change(p, ctx, p.v))
         is_fluid_c = p.is_fluid()
+        dv_fused = self._fused(ctx) and self.fuse_solver_dv
 
         def body(carry):
             v, adv, _, it = carry
             kappa = adv * factor
-            dv, _ = self._solver_dv(p, ctx, kappa, False, dt)
-            v = jnp.where(is_fluid_c[:, None], v + dv, v)
+            if dv_fused:
+                v, _ = self._solver_dv(p, ctx, kappa, False, dt, v=v)
+            else:
+                dv, _ = self._solver_dv(p, ctx, kappa, False, dt)
+                v = jnp.where(is_fluid_c[:, None], v + dv, v)
             v = self._sync_vec(ctx, p, v)
             adv = self._sync_arr(ctx, p, self._density_change(p, ctx, v))
             err = self._avg_density_error(p, adv, 0.0)
@@ -260,14 +390,24 @@ class DFSPHSolver(SPHBase):
         is_dyn_rigid_c = p.is_dynamic_rigid()
         has_dyn_rigid = bool(params.dynamic_rigid_ids)
 
+        dv_fused = self._fused(ctx) and self.fuse_solver_dv
+
         def body(carry):
             v, acc, adv, _, it = carry
             kappa = (adv - 1.0) * factor
-            dv, react = self._solver_dv(p, ctx, kappa, has_dyn_rigid, dt)
-            v = jnp.where(is_fluid_c[:, None], v + dv, v)
+            if dv_fused:
+                v, acc_new = self._solver_dv(p, ctx, kappa, has_dyn_rigid,
+                                             dt, v=v, acc=acc)
+                if has_dyn_rigid:
+                    acc = acc_new
+            else:
+                dv, react = self._solver_dv(p, ctx, kappa, has_dyn_rigid,
+                                            dt)
+                v = jnp.where(is_fluid_c[:, None], v + dv, v)
+                if has_dyn_rigid:
+                    acc = jnp.where(is_dyn_rigid_c[:, None],
+                                    acc + react, acc)
             v = self._sync_vec(ctx, p, v)
-            if has_dyn_rigid:
-                acc = jnp.where(is_dyn_rigid_c[:, None], acc + react, acc)
             adv = self._sync_arr(ctx, p, self._density_adv(p, ctx, v,
                                                            p.density, dt))
             err = self._avg_density_error(p, adv, self.density_0)
@@ -314,8 +454,15 @@ class DFSPHSolver(SPHBase):
         if self.enable_divergence_solver:
             p, m = self.divergence_solve(p, ctx, dt)
             metrics.update(m)
-        p = compute_non_pressure_forces(p, ctx, self.engine, self.params, self.g)
-        p = self.predict_velocity(p, dt)
+        if self._fused(ctx):
+            # predict_velocity rides the non-pressure traversal's epilogue
+            p = compute_non_pressure_forces(p, ctx, self.engine,
+                                            self.params, self.g,
+                                            predict_dt=dt)
+        else:
+            p = compute_non_pressure_forces(p, ctx, self.engine,
+                                            self.params, self.g)
+            p = self.predict_velocity(p, dt)
         p = sync_fields(ctx, p, ["v"])  # ghosts need the non-pressure kick
         p, m = self.pressure_solve(p, ctx, dt)
         metrics.update(m)

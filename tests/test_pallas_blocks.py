@@ -188,3 +188,21 @@ def test_block_epilogue_transform(rng):
     for w, g in zip(want, got):
         np.testing.assert_allclose(g[real_s], w[real_s],
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_block_two_way_rigid_equivalence_dfsph():
+    """DFSPH with a dynamic rigid block: covers the fused _solver_dv
+    reaction path (v + acc epilogue, 15 traversal fields) against the
+    unfused gather oracle."""
+    d = small_scene_dict(method=4)
+    d["Configuration"]["timeStepSize"] = 4e-3
+    d["RigidBlocks"] = [{
+        "objectId": 1,
+        "start": [0.55, 0.1, 0.1], "end": [0.85, 0.4, 0.4],
+        "translation": [0.0, 0.0, 0.0], "scale": [1.0, 1.0, 1.0],
+        "velocity": [0.0, 0.0, 0.0], "density": 1000.0,
+        "color": [100, 100, 100], "isDynamic": True,
+    }]
+    sg = _run(4, "gather", 2, scene=d)
+    sp = _run(4, "pallas_blocks_interpret", 2, scene=d)
+    _assert_states_close(sg, sp, matched=True)
