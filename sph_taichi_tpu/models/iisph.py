@@ -32,7 +32,9 @@ from sph_taichi_tpu.ops.kernels import (
     cubic_kernel, cubic_kernel_derivative_scalar)
 from sph_taichi_tpu.ops.pairs import vdot, vscale
 from sph_taichi_tpu.models.base import (
-    SPHBase, compute_densities, ectx, sync_fields)
+    SPHBase, compute_densities, ectx, restore_tail, sync_fields)
+
+import numpy as np
 
 
 class IISPHSolver(SPHBase):
@@ -42,10 +44,20 @@ class IISPHSolver(SPHBase):
         self.tolerance = 1e-3     # IISPH.py:110
         super().__init__(params)
 
+    def _fused(self, ctx):
+        """In-kernel epilogue routing (docs/DESIGN.md round 3); sharded
+        runs keep the unfused path (ghost-sync granularity)."""
+        return (getattr(self.engine, "supports_epilogue", False)
+                and not (hasattr(ctx, "ghost_sync")
+                         and ctx.ghost_sync is not None))
+
     # ------------------------------------------------------------------
-    def compute_non_pressure(self, p: Particles, ctx):
+    def compute_non_pressure(self, p: Particles, ctx, vstar_dt=None):
         """Gravity + fluid viscosity for every real particle
-        (IISPH.py:236-249; viscosity_force from sph_base.py:70-78)."""
+        (IISPH.py:236-249; viscosity_force from sph_base.py:70-78).
+
+        With ``vstar_dt`` (fused mode) the acc chain and the fluid
+        v* = v + dt*acc kick (IISPH.py:73-75) run in the epilogue."""
         params = self.params
         h = params.support_radius
         d = 2.0 * (params.dim + 2.0)
@@ -60,25 +72,57 @@ class IISPHSolver(SPHBase):
                 / (d2 + 0.01 * h * h) * gradw_s, 0.0)
             return {"a": coef}
 
+        fields = {"material": p.material, "m": p.m, "density": p.density,
+                  "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]}
+
+        if vstar_dt is not None:
+            gl = [float(val) for val in np.asarray(self.g)]
+
+            def epi(fi, sums, sc):
+                dtv = sc[0]
+                fluid = fi["material"] == float(MATERIAL_FLUID)
+                padm = fi["material"] == -1.0
+                aout, vout = [], []
+                for k in range(3):
+                    a = jnp.where(padm, 0.0,
+                                  gl[k] + sums["a"][:, k:k + 1])
+                    aout.append(a)
+                    vout.append(jnp.where(fluid,
+                                          fi[f"v{k}"] + dtv * a,
+                                          fi[f"v{k}"]))
+                return {"acc": jnp.concatenate(aout, axis=1),
+                        "v": jnp.concatenate(vout, axis=1)}
+
+            out = self.engine.traverse(
+                ectx(ctx), p.x, fields, term, {"a": "radial"},
+                mode="mxu", pair_dots=("v",),
+                epilogue=(epi, {"acc": 3, "v": 3},
+                          jnp.stack([vstar_dt])))
+            acc = restore_tail(jnp.stack(out["acc"], axis=1),
+                               jnp.zeros_like(p.acc), params)
+            v = restore_tail(jnp.stack(out["v"], axis=1), p.v, params)
+            return p._replace(acc=acc, v=v)
+
         out = self.engine.traverse(
-            ectx(ctx), p.x,
-            {"material": p.material, "m": p.m, "density": p.density,
-             "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
+            ectx(ctx), p.x, fields,
             term, {"a": "radial"}, mode="mxu", pair_dots=("v",))
         acc = self.g[None, :] + jnp.stack(out["a"], axis=1)
         acc = jnp.where((p.material == -1)[:, None], 0.0, acc)
         return p._replace(acc=acc)
 
     # ------------------------------------------------------------------
-    def predict_advection(self, p: Particles, ctx, dt):
+    def predict_advection(self, p: Particles, ctx, dt, vstar_done=False):
         """a_ii, v* and the density-deviation source (IISPH.py:20-100)."""
         params = self.params
         h = params.support_radius
         rho0 = self.density_0
 
-        # v* = v + dt * a_nonpressure for fluid (IISPH.py:73-75)
-        v_star = jnp.where(p.is_fluid()[:, None], p.v + dt * p.acc, p.v)
-        p = p._replace(v=v_star)
+        if not vstar_done:
+            # v* = v + dt * a_nonpressure for fluid (IISPH.py:73-75);
+            # in fused mode this already rode compute_non_pressure
+            v_star = jnp.where(p.is_fluid()[:, None], p.v + dt * p.acc,
+                               p.v)
+            p = p._replace(v=v_star)
         p = sync_fields(ctx, p, ["v"])
 
         def term(fi, fj, d2, rn, dots):
@@ -91,12 +135,42 @@ class IISPHSolver(SPHBase):
                     "s": mg / (fj["density"] * fj["density"]),
                     "q": q, "div": div}
 
+        fields = {"material": p.material, "m_V": p.m_V,
+                  "density": p.density,
+                  "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]}
+        specs = {"g": "radial", "s": "radial", "q": "scalar",
+                 "div": "scalar"}
+
+        if self._fused(ctx):
+            fields["pr"] = p.pressure
+            rho0f = float(rho0)
+
+            def epi(fi, sums, sc):
+                dtv = sc[0]
+                g = sums["g"]
+                s = sums["s"]
+                dot_sg = (s[:, 0:1] * g[:, 0:1] + s[:, 1:2] * g[:, 1:2]
+                          + s[:, 2:3] * g[:, 2:3])
+                rho2 = fi["density"] * fi["density"]
+                a_ii = (dtv * dtv) * (rho0f * rho0f) * (
+                    -dot_sg - (fi["m_V"] / rho2) * sums["q"])
+                source = rho0f - fi["density"] - dtv * sums["div"] * rho0f
+                return {"a_ii": a_ii, "source": source,
+                        "last_p": 0.5 * fi["pr"]}
+
+            out = self.engine.traverse(
+                ectx(ctx), p.x, fields, term, specs, mode="mxu",
+                pair_dots=("v",),
+                epilogue=(epi, {"a_ii": 1, "source": 1, "last_p": 1},
+                          jnp.stack([dt])))
+            zero = jnp.zeros_like(p.pressure)
+            return (p, restore_tail(out["a_ii"], zero, params),
+                    restore_tail(out["source"], zero, params),
+                    restore_tail(out["last_p"], zero, params))
+
         out = self.engine.traverse(
-            ectx(ctx), p.x,
-            {"material": p.material, "m_V": p.m_V, "density": p.density,
-             "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]},
-            term, {"g": "radial", "s": "radial", "q": "scalar",
-                   "div": "scalar"}, mode="mxu", pair_dots=("v",))
+            ectx(ctx), p.x, fields, term, specs,
+            mode="mxu", pair_dots=("v",))
 
         gx, gy, gz = out["g"]
         sx, sy, sz = out["s"]
@@ -111,9 +185,15 @@ class IISPHSolver(SPHBase):
         return p, a_ii, source, last_pressure
 
     # ------------------------------------------------------------------
-    def _pressure_accel(self, p: Particles, ctx, pressure):
+    def _pressure_accel(self, p: Particles, ctx, pressure,
+                        advect_dt=None):
         """Symmetric pressure acceleration from a pressure field
-        (IISPH.py:114-144 / :202-233)."""
+        (IISPH.py:114-144 / :202-233).
+
+        With ``advect_dt`` (fused mode) the fluid advect — v += dt*a_p
+        (v already holds v*), x += dt*v (IISPH.py:251-257) — runs in the
+        epilogue; positions here ARE the originals, so (v', x') is
+        returned."""
         params = self.params
         h = params.support_radius
         rho0 = self.density_0
@@ -130,16 +210,47 @@ class IISPHSolver(SPHBase):
                              -rho0 * fj["m_V"] * (dpi + dpj) * gradw_s, 0.0)
             return {"ap": coef}
 
+        fields = {"material": p.material, "m_V": p.m_V,
+                  "density": p.density, "pr": pressure}
+
+        if advect_dt is not None:
+            for k in range(3):
+                fields[f"v{k}"] = p.v[:, k]
+
+            def epi(fi, sums, sc):
+                dtv = sc[0]
+                fluid = fi["material"] == float(MATERIAL_FLUID)
+                vs, xs = [], []
+                for k in range(3):
+                    vk = jnp.where(fluid,
+                                   fi[f"v{k}"] + dtv * sums["ap"][:, k:k + 1],
+                                   fi[f"v{k}"])
+                    xs.append(jnp.where(fluid, fi[f"x{k}"] + dtv * vk,
+                                        fi[f"x{k}"]))
+                    vs.append(vk)
+                return {"v": jnp.concatenate(vs, axis=1),
+                        "x": jnp.concatenate(xs, axis=1)}
+
+            out = self.engine.traverse(
+                ectx(ctx), p.x, fields, term, {"ap": "radial"},
+                mode="mxu",
+                epilogue=(epi, {"v": 3, "x": 3}, jnp.stack([advect_dt])))
+            v = restore_tail(jnp.stack(out["v"], axis=1), p.v, params)
+            x = restore_tail(jnp.stack(out["x"], axis=1), p.x, params)
+            return p._replace(v=v, x=x)
+
         out = self.engine.traverse(
-            ectx(ctx), p.x,
-            {"material": p.material, "m_V": p.m_V, "density": p.density,
-             "pr": pressure},
+            ectx(ctx), p.x, fields,
             term, {"ap": "radial"}, mode="mxu")
         return jnp.stack(out["ap"], axis=1)
 
-    def _apply_A(self, p: Particles, ctx, accel):
+    def _apply_A(self, p: Particles, ctx, accel, update=None):
         """Ap_i = dt^2 rho0 sum_j m_V_j (a_i - a_j).gradW_ij
-        (IISPH.py:146-163) — dt^2 applied by the caller."""
+        (IISPH.py:146-163) — dt^2 applied by the caller.
+
+        With ``update=(a_ii, source, last_p, dt2, rho0)`` (fused mode)
+        the relaxed-Jacobi pressure update and the per-particle error
+        term run in the epilogue; returns (new_p, err_term)."""
         params = self.params
         h = params.support_radius
 
@@ -150,10 +261,42 @@ class IISPHSolver(SPHBase):
                                     fj["m_V"] * gradw_s * dots["a"],
                                     0.0)}
 
+        fields = {"material": p.material, "m_V": p.m_V,
+                  "a0": accel[:, 0], "a1": accel[:, 1], "a2": accel[:, 2]}
+
+        if update is not None:
+            a_ii, source, last_p, dt2, rho0 = update
+            rho0f = float(rho0)
+            omega = float(self.omega)
+            fields["a_ii"] = a_ii
+            fields["source"] = source
+            fields["last_p"] = last_p
+
+            def epi(fi, sums, sc):
+                ap = sums["ap"] * sc[0] * rho0f
+                real_c = fi["material"] >= 0.0
+                new_p = jnp.where(
+                    jnp.abs(fi["a_ii"]) > 1e-6,
+                    jnp.maximum(
+                        fi["last_p"]
+                        + omega * (fi["source"] - ap) / fi["a_ii"], 0.0),
+                    0.0)
+                new_p = jnp.where(real_c, new_p, 0.0)
+                err = jnp.where(real_c & (new_p != 0.0),
+                                jnp.abs(ap - fi["source"]) / rho0f, 0.0)
+                return {"new_p": new_p, "err": err}
+
+            out = self.engine.traverse(
+                ectx(ctx), p.x, fields, term, {"ap": "scalar"},
+                mode="mxu", pair_dots=("a",),
+                epilogue=(epi, {"err": 1, "new_p": 1},
+                          jnp.stack([dt2])))
+            zero = jnp.zeros_like(p.pressure)
+            return (restore_tail(out["new_p"], zero, params),
+                    restore_tail(out["err"], zero, params))
+
         out = self.engine.traverse(
-            ectx(ctx), p.x,
-            {"material": p.material, "m_V": p.m_V,
-             "a0": accel[:, 0], "a1": accel[:, 1], "a2": accel[:, 2]},
+            ectx(ctx), p.x, fields,
             term, {"ap": "scalar"}, mode="mxu", pair_dots=("a",))
         return out["ap"]
 
@@ -167,10 +310,17 @@ class IISPHSolver(SPHBase):
         dt2 = dt * dt
         real = p.material >= 0
         owned = real & (p.is_dynamic >= 0)
+        fused = self._fused(ctx)
 
         def body(carry):
             last_p, _, it = carry
             accel = self._pressure_accel(p, ctx, last_p)
+            if fused:
+                new_p, err_t = self._apply_A(
+                    p, ctx, accel,
+                    update=(a_ii, source, last_p, dt2, rho0))
+                err = jnp.sum(err_t) / params.n_particles
+                return new_p, err, it + 1
             ap = self._apply_A(p, ctx, accel) * dt2 * rho0
             new_p = jnp.where(
                 jnp.abs(a_ii) > 1e-6,
@@ -211,12 +361,20 @@ class IISPHSolver(SPHBase):
     # ------------------------------------------------------------------
     def substep(self, p: Particles, ctx, dt):
         p = compute_densities(p, ctx, self.engine, self.params)
-        p = self.compute_non_pressure(p, ctx)
-        p, a_ii, source, last_p = self.predict_advection(p, ctx, dt)
+        fused = self._fused(ctx)
+        if fused:
+            p = self.compute_non_pressure(p, ctx, vstar_dt=dt)
+        else:
+            p = self.compute_non_pressure(p, ctx)
+        p, a_ii, source, last_p = self.predict_advection(
+            p, ctx, dt, vstar_done=fused)
         pressure, metrics = self.pressure_solve(
             p, ctx, a_ii, source, last_p, dt)
         p = p._replace(pressure=pressure)
-        accel = self._pressure_accel(p, ctx, pressure)
-        accel = jnp.where(p.is_fluid()[:, None], accel, 0.0)
-        p = self.advect(p, accel, dt)
+        if fused:
+            p = self._pressure_accel(p, ctx, pressure, advect_dt=dt)
+        else:
+            accel = self._pressure_accel(p, ctx, pressure)
+            accel = jnp.where(p.is_fluid()[:, None], accel, 0.0)
+            p = self.advect(p, accel, dt)
         return p, metrics

@@ -31,7 +31,7 @@ from sph_taichi_tpu.state import MATERIAL_FLUID, MATERIAL_SOLID, Particles
 from sph_taichi_tpu.ops.kernels import cubic_kernel_derivative_scalar
 from sph_taichi_tpu.models.base import (
     SPHBase, compute_densities, compute_non_pressure_forces, ectx,
-    sync_fields)
+    restore_tail, sync_fields)
 
 
 class PCISPHSolver(SPHBase):
@@ -65,11 +65,16 @@ class PCISPHSolver(SPHBase):
         return float(grad_sum @ grad_sum + grad_dot)
 
     # ------------------------------------------------------------------
-    def _d_rho(self, p: Particles, ctx, x, v):
+    def _d_rho(self, p: Particles, ctx, x, v, correct=None):
         """Continuity density derivative on (possibly predicted) positions:
-        drho_i/dt = rho0 * sum_j m_V_j (v_i - v_j) . gradW_ij."""
+        drho_i/dt = rho0 * sum_j m_V_j (v_i - v_j) . gradW_ij.
+
+        With ``correct=(pressure, dt, s_f)`` (fused mode) the PCISPH
+        pressure correction runs in the kernel epilogue and
+        (pressure', rho_err) is returned instead."""
         params = self.params
         h = params.support_radius
+        rho0 = float(self.density_0)
 
         def term(fi, fj, d2, rn, dots):
             gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
@@ -77,15 +82,48 @@ class PCISPHSolver(SPHBase):
             return {"div": jnp.where(real,
                                      fj["m_V"] * gradw_s * dots["v"], 0.0)}
 
+        fields = {"material": p.material, "m_V": p.m_V,
+                  "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]}
+
+        if correct is not None:
+            pressure, dt, s_f = correct
+            fields["density"] = p.density
+            fields["pr"] = pressure
+
+            def epi(fi, sums, sc):
+                dtv, sfv = sc[0], sc[1]
+                fluid = fi["material"] == float(MATERIAL_FLUID)
+                d_rho = jnp.where(fluid, sums["div"] * rho0, 0.0)
+                rho_err = jnp.where(
+                    fluid,
+                    jnp.maximum(fi["density"] + dtv * d_rho - rho0, 0.0),
+                    0.0)
+                pr = jnp.where(
+                    fluid, jnp.maximum(fi["pr"] + sfv * rho_err, 0.0), 0.0)
+                return {"pr": pr, "rho_err": rho_err}
+
+            out = self.engine.traverse(
+                ectx(ctx), x, fields, term, {"div": "scalar"},
+                mode="mxu", pair_dots=("v",),
+                epilogue=(epi, {"pr": 1, "rho_err": 1},
+                          jnp.stack([dt, s_f])))
+            zero = jnp.zeros_like(p.pressure)
+            return (restore_tail(out["pr"], zero, params),
+                    restore_tail(out["rho_err"], zero, params))
+
         out = self.engine.traverse(
-            ectx(ctx), x,
-            {"material": p.material, "m_V": p.m_V,
-             "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]},
+            ectx(ctx), x, fields,
             term, {"div": "scalar"}, mode="mxu", pair_dots=("v",))
         return jnp.where(p.is_fluid(), out["div"] * self.density_0, 0.0)
 
-    def _pressure_accel(self, p: Particles, ctx, x, pressure):
-        """Symmetric pressure acceleration with the WCSPH solid mirror."""
+    def _pressure_accel(self, p: Particles, ctx, x, pressure,
+                        predict=None):
+        """Symmetric pressure acceleration with the WCSPH solid mirror.
+
+        With ``predict=dt`` (fused mode) the epilogue additionally emits
+        the next iteration's predicted state from the ORIGINAL p.v/p.acc
+        (v* = v + dt (a_np + a_p); x* = x + dt v*, fluid rows), and
+        (p_acc, x*, v*) is returned."""
         params = self.params
         h = params.support_radius
         rho0 = self.density_0
@@ -102,10 +140,39 @@ class PCISPHSolver(SPHBase):
                              -rho0 * fj["m_V"] * (dpi + dpj) * gradw_s, 0.0)
             return {"ap": coef}
 
+        fields = {"material": p.material, "m_V": p.m_V,
+                  "density": p.density, "pr": pressure}
+
+        if predict is not None:
+            # NOTE: the predicted x* = x_orig + dt v* must NOT be built
+            # here — fi["x?"] inside this traversal is the CURRENT
+            # predicted position (the traversal's pair geometry), not
+            # x_orig, and adding 3 x_orig fields would push f_used past
+            # 16.  v* only needs the original v/acc (10+4 fields), so v*
+            # is fused and x* stays a single XLA op in the loop body.
+            for k in range(3):
+                fields[f"v{k}"] = p.v[:, k]
+                fields[f"a{k}"] = p.acc[:, k]
+
+            def epi(fi, sums, sc):
+                dtv = sc[0]
+                fluid = fi["material"] == float(MATERIAL_FLUID)
+                vs = []
+                for k in range(3):
+                    apk = jnp.where(fluid, sums["ap"][:, k:k + 1], 0.0)
+                    vs.append(jnp.where(
+                        fluid,
+                        fi[f"v{k}"] + dtv * (fi[f"a{k}"] + apk),
+                        fi[f"v{k}"]))
+                return {"vp": jnp.concatenate(vs, axis=1)}
+
+            out = self.engine.traverse(
+                ectx(ctx), x, fields, term, {"ap": "radial"}, mode="mxu",
+                epilogue=(epi, {"vp": 3}, jnp.stack([predict])))
+            return restore_tail(jnp.stack(out["vp"], axis=1), p.v, params)
+
         out = self.engine.traverse(
-            ectx(ctx), x,
-            {"material": p.material, "m_V": p.m_V, "density": p.density,
-             "pr": pressure},
+            ectx(ctx), x, fields,
             term, {"ap": "radial"}, mode="mxu")
         return jnp.stack(out["ap"], axis=1)
 
@@ -120,6 +187,42 @@ class PCISPHSolver(SPHBase):
         s_f = 1.0 / jnp.maximum(
             2.0 * (dt * m_like) ** 2 * self.s_f_base, 1e-6)
         tol = self.tolerance_frac * rho0
+
+        fused = (getattr(self.engine, "supports_epilogue", False)
+                 and not (hasattr(ctx, "ghost_sync")
+                          and ctx.ghost_sync is not None))
+
+        if fused:
+            # in-kernel epilogues carry the correction (pressure update
+            # in _d_rho) and the velocity predict (in _pressure_accel);
+            # the final predicted (x*, v*) double as the fluid advect —
+            # bitwise the same formula the unfused path applies after
+            # the loop (legacy:798-806)
+            def body(carry):
+                pressure, vp, xp, _, it = carry
+                q = p._replace(pressure=pressure)
+                pressure, rho_err = self._d_rho(
+                    q, ctx, xp, vp, correct=(pressure, dt, s_f))
+                err = jnp.max(jnp.abs(rho_err))
+                vp = self._pressure_accel(p, ctx, xp, pressure,
+                                          predict=dt)
+                xp = jnp.where(fluid3, p.x + dt * vp, p.x)
+                return pressure, vp, xp, err, it + 1
+
+            def cond(carry):
+                _, _, _, err, it = carry
+                return ((err >= tol) | (it < self.min_iterations)) \
+                    & (it <= self.max_iterations)
+
+            vp0 = jnp.where(fluid3, p.v + dt * p.acc, p.v)
+            xp0 = jnp.where(fluid3, p.x + dt * vp0, p.x)
+            init = (jnp.zeros_like(p.pressure), vp0, xp0,
+                    jnp.asarray(np.inf, jnp.float32),
+                    jnp.zeros((), jnp.int32))
+            pressure, vp, xp, err, iters = jax.lax.while_loop(
+                cond, body, init)
+            return pressure, (vp, xp), {"pressure_iters": iters,
+                                        "pressure_error": err}
 
         def body(carry):
             pressure, p_acc, d_rho, _, it = carry
@@ -177,7 +280,19 @@ class PCISPHSolver(SPHBase):
         p = compute_densities(p, ctx, self.engine, self.params)
         p = compute_non_pressure_forces(p, ctx, self.engine, self.params,
                                         self.g)
-        pressure, p_acc, metrics = self.pressure_solve(p, ctx, dt)
+        pressure, res, metrics = self.pressure_solve(p, ctx, dt)
         p = p._replace(pressure=pressure)
-        p = self.advect(p, p_acc, dt)
+        if isinstance(res, tuple):
+            # fused loop: the final predicted (v*, x*) ARE the fluid
+            # advect (bitwise the same formula); rigids advect in XLA
+            vp, xp = res
+            fluid3 = p.is_fluid()[:, None]
+            v = jnp.where(fluid3, vp, p.v)
+            x = jnp.where(fluid3, xp, p.x)
+            dyn_r = p.is_dynamic_rigid()[:, None]
+            v = jnp.where(dyn_r, p.v + dt * p.acc, v)
+            x = jnp.where(dyn_r, p.x + dt * v, x)
+            p = p._replace(v=v, x=x)
+        else:
+            p = self.advect(p, res, dt)
         return p, metrics
