@@ -196,4 +196,10 @@ def make_engine(params):
     if backend == "pallas_blocks_interpret":
         from sph_taichi_tpu.ops.pallas_blocks import BlockEngine
         return BlockEngine(params, interpret=True)
+    if backend == "pallas_slots":      # v4 slot-dense engine (round 3)
+        from sph_taichi_tpu.ops.pallas_slots import SlotEngine
+        return SlotEngine(params)
+    if backend == "pallas_slots_interpret":
+        from sph_taichi_tpu.ops.pallas_slots import SlotEngine
+        return SlotEngine(params, interpret=True)
     return GatherEngine(params)

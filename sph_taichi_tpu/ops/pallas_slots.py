@@ -1,0 +1,669 @@
+"""Pallas TPU pair-traversal engine v4: slot-dense candidates.
+
+Round-3 prototype (VERDICT r2 item 2) attacking the v3 block engine's
+measured assembly bucket (~8.7 ms/step at dragon scale, j67b): v3
+assembles each candidate window with a per-window dynamic-offset
+``pltpu.roll`` plus window-bound table reads, because window offsets in
+the particle-major sorted array depend on occupancy prefix sums.
+
+v4 removes the dynamic offsets at the source.  prepare() emits a gather
+index map that expands the sorted lanes array into a SLOT-DENSE buffer:
+8 f32 lanes per grid cell (SLOT), rows ring-padded by one cell in
+x/y/z, row stride padded to a 128 multiple.  In that layout every
+candidate window is slot arithmetic:
+
+- row base for (ix, iy)   = ((ix+1)*ny2 + (iy+1)) * nzp   (128-aligned)
+- z-batch t window lanes  = [16*t, 16*t + 32)  within the row
+  (z-batch Z=2 cells, window Z+2=4 cells x 8 slots = 32 lanes)
+
+The kernel then reads windows with a two-step slice: a dynamic but
+128-ALIGNED lane slice ``[ri*nzp + 128*T, +256)`` per superbatch
+(T = 8 z-batches), followed by STATIC slices for the 8 sub-batches —
+satisfying the Mosaic alignment rules with zero rolls and zero window
+tables.  Cell-occupancy overflow (> 8 per cell) goes to additional
+dense LAYERS (same geometry, slots 8..15, ...), processed by the same
+exact accumulation loop that v3 used for window sheets: capacity costs
+passes, never pairs.
+
+Centers, write-back, and the in-kernel epilogue are v3's particle-major
+machinery unchanged (own columns DMA'd from the lanes array and
+transposed; per-center outputs written back by rid ranges), so the
+output stays per-particle and the dense buffer is candidates-only.
+
+Costs moved to XLA: one jnp.take gather per traversal builds the dense
+buffer (~LAYERS * nx2*ny2*nzp lanes x f_pad rows).  j83 measures
+whether that gather runs near HBM bandwidth; this engine is only worth
+defaulting to if it does.
+
+Same ``traverse`` contract as GatherEngine / BlockEngine (mxu mode,
+pair_dots, epilogue); validated against the gather oracle by
+tests/test_pallas_slots.py in interpret mode.
+"""
+
+import functools
+from typing import Dict, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+OUT_CHUNK = 512   # output write-back chunk (particles)
+CSL = 16          # center sublanes per own row per batch (Z*8 at Z=2)
+SLOT = 8          # dense slots per cell per layer
+Z = 2             # z-cells per center batch
+WC = (Z + 2) * SLOT          # lanes per candidate window (32)
+SB = 8            # z-batches per superbatch (128 lanes of window offset)
+
+
+class SlotCtx(NamedTuple):
+    dense_idx: jnp.ndarray  # i32[LAYERS*R] lanes-gather map (R lanes/layer)
+    ctr_tab: jnp.ndarray    # i32[n_groups, 4, nbz+1] center-row batch starts
+    col_tab: jnp.ndarray    # i32[n_groups, 4, 2] own column-pair [lo, hi)
+    #                         (rows 0-1) + next group's pair (rows 2-3)
+    zinfo: jnp.ndarray      # i32[n_groups, 1, 4] [b0, b1, Lg, Lg_next]
+    mxt_tab: jnp.ndarray    # i32[n_groups, 2, nbz] row0 = layers per batch
+    #                         (>=1), row1 = max center count (0 skips batch)
+    diag: dict
+
+
+class SlotEngine:
+    diag_keys = ("max_cell_occupancy_engine", "max_batch_centers",
+                 "max_colgrp_len", "slot_overflow", "group_overflow",
+                 "max_layers_used")
+    supports_epilogue = True
+
+    def __init__(self, params, interpret=False):
+        assert params.dim == 3, "Slot engine is 3D; 2D uses GatherEngine"
+        self.params = params
+        self.interpret = interpret
+        nx, ny, nz = params.grid_num
+        self.nx, self.ny, self.nz = nx, ny, nz
+        self.nbx = -(-nx // 2)
+        self.nby = -(-ny // 2)
+        self.n_groups = self.nbx * self.nby
+        self.nbz = -(-nz // Z)
+        self.nsb = -(-self.nbz // SB)
+        # ring-padded row grid (see module docstring)
+        self.nx2 = 2 * self.nbx + 2
+        self.ny2 = 2 * self.nby + 2
+        self.nzp = -(-((nz + 2) * SLOT) // 128) * 128
+        # row STRIDE: the kernel reads (ri*nzs + 128*T, +256) slices, so
+        # every row needs 128*(nsb-1) + 256 readable lanes — short rows
+        # would clamp the ds() and alias the previous row's data (the
+        # exact-2x bug this padding fixes)
+        self.nzs = max(self.nzp, 128 * (self.nsb - 1) + 256)
+        self.R = self.nx2 * self.ny2 * self.nzs
+        self.layers = int(getattr(params, "slot_layers", 0) or 2)
+        self.half = max(int(getattr(params, "blocks_col_cap", 0) or 2048),
+                        256)
+        # center-source slab: aligned base + delta(<128) + col span
+        self.csp = -(-(self.half + 256) // 128) * 128
+        self.h2 = params.support_radius * params.support_radius
+
+    # ------------------------------------------------------------------
+    def prepare(self, x, cell_starts):
+        nx, ny, nz = self.nx, self.ny, self.nz
+        nbx, nby, nbz = self.nbx, self.nby, self.nbz
+        nx2, ny2, nzs = self.nx2, self.ny2, self.nzs
+        c = nx * ny * nz
+        n = x.shape[0]
+
+        starts = cell_starts[:c].reshape(nx, ny, nz)
+        ends = cell_starts[1:c + 1].reshape(nx, ny, nz)
+        cnt = ends - starts
+
+        # ---- dense gather map: (LAYERS, nx2, ny2, nzp) -> lanes col ----
+        sl = jnp.arange(SLOT, dtype=jnp.int32)
+        layer_maps = []
+        for L in range(self.layers):
+            src = starts[..., None] + (L * SLOT) + sl          # (nx,ny,nz,8)
+            valid = src < ends[..., None]
+            idx = jnp.where(valid, src, n).astype(jnp.int32)
+            idx = idx.reshape(nx, ny, nz * SLOT)
+            idx = jnp.pad(idx, ((1, nx2 - nx - 1), (1, ny2 - ny - 1),
+                                (SLOT, nzs - (nz + 1) * SLOT)),
+                          constant_values=n)
+            layer_maps.append(idx.reshape(-1))
+        dense_idx = jnp.concatenate(layer_maps)
+
+        # ---- padded per-row-per-cell counts for layer table ----
+        cnt_p = jnp.pad(cnt, ((1, nx2 - nx - 1), (1, ny2 - ny - 1), (0, 0)))
+        # window cells of batch t: [t*Z - 1, t*Z + Z + 1) clipped
+        lo_cols = [max(t * Z - 1, 0) for t in range(nbz)]
+        hi_cols = [min(t * Z + Z + 1, nz) for t in range(nbz)]
+        # with nz ~<= 128 a direct slice-max per batch stays cheap
+        win_cnt = jnp.stack(
+            [jnp.max(cnt_p[:, :, lo:hi], axis=2)
+             for lo, hi in zip(lo_cols, hi_cols)], axis=2)  # (nx2,ny2,nbz)
+
+        # 16-row neighborhood max per group: stride-2 window over rows
+        grp_max = None
+        for ci in range(4):
+            for ri in range(4):
+                w = win_cnt[ci:ci + 2 * nbx:2, ri:ri + 2 * nby:2]
+                w = w[:nbx, :nby]
+                grp_max = w if grp_max is None else jnp.maximum(grp_max, w)
+        lt = jnp.clip(-(-grp_max // SLOT), 1, self.layers)  # (nbx,nby,nbz)
+
+        # ---- own-row occupied z-range and center/column tables ----
+        occ = cnt > 0
+        zidx = jnp.arange(nz, dtype=jnp.int32)
+        row_zlo = jnp.min(jnp.where(occ, zidx, nz), axis=2)
+        row_zhi = jnp.max(jnp.where(occ, zidx, -1), axis=2)
+        s_full = jnp.concatenate(
+            [starts, ends[:, :, -1:]], axis=2)          # (nx,ny,nz+1)
+        sp = jnp.pad(s_full, ((1, nx2 - nx - 1), (1, ny2 - ny - 1), (0, 0)))
+        valid_row = jnp.pad(jnp.ones((nx, ny), bool),
+                            ((1, nx2 - nx - 1), (1, ny2 - ny - 1)))
+        zlo_p = jnp.pad(row_zlo, ((1, nx2 - nx - 1), (1, ny2 - ny - 1)),
+                        constant_values=nz)
+        zhi_p = jnp.pad(row_zhi, ((1, nx2 - nx - 1), (1, ny2 - ny - 1)),
+                        constant_values=-1)
+
+        ctr_cols = [min(t * Z, nz) for t in range(nbz + 1)]
+        ctr_rows, col_rows = [], []
+        zlo_all, zhi_all = None, None
+        for ri2 in (0, 1):
+            for ci2 in (0, 1):
+                w = sp[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
+                ok = valid_row[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
+                ct = jnp.where(ok[..., None], w[:, :, ctr_cols], 0)
+                ctr_rows.append(ct)
+                zl = jnp.where(ok, zlo_p[1 + ci2::2, 1 + ri2::2][:nbx, :nby],
+                               nz)
+                zh = jnp.where(ok, zhi_p[1 + ci2::2, 1 + ri2::2][:nbx, :nby],
+                               -1)
+                zlo_all = zl if zlo_all is None else jnp.minimum(zlo_all, zl)
+                zhi_all = zh if zhi_all is None else jnp.maximum(zhi_all, zh)
+        for ci2 in (0, 1):
+            pair = []
+            for ri2 in (0, 1):
+                w = sp[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
+                ok = valid_row[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
+                pair.append((jnp.where(ok, w[:, :, 0], 0),
+                             jnp.where(ok, w[:, :, nz], 0)))
+            lo = pair[0][0]
+            hi = jnp.maximum(pair[0][1], pair[1][1])
+            col_rows.append(jnp.stack([lo, hi], axis=2))
+        ctr_tab = jnp.stack(ctr_rows, axis=2).astype(jnp.int32) \
+            .reshape(self.n_groups, 4, nbz + 1)
+        col_tab = jnp.stack(col_rows, axis=2).astype(jnp.int32) \
+            .reshape(self.n_groups, 2, 2)
+
+        b0 = jnp.minimum(zlo_all // Z, nbz).astype(jnp.int32)
+        b1 = jnp.minimum((zhi_all // Z) + 1, nbz).astype(jnp.int32)
+        b1 = jnp.maximum(b1, b0)
+
+        # group layer max over its occupied batches only
+        bidx = jnp.arange(nbz, dtype=jnp.int32)
+        in_rng = (bidx[None, None, :] >= b0[..., None]) \
+            & (bidx[None, None, :] < b1[..., None])
+        lg = jnp.max(jnp.where(in_rng, lt, 1), axis=2).astype(jnp.int32)
+        lg_flat = lg.reshape(-1)
+        lg_next = jnp.concatenate(
+            [lg_flat[1:], jnp.ones((1,), jnp.int32)])
+        zinfo = jnp.stack(
+            [b0.reshape(-1), b1.reshape(-1), lg_flat, lg_next],
+            axis=1).astype(jnp.int32).reshape(self.n_groups, 1, 4)
+
+        batch_c = ctr_tab[:, :, 1:] - ctr_tab[:, :, :-1]
+        mxt_tab = jnp.stack(
+            [lt.reshape(self.n_groups, nbz),
+             jnp.max(batch_c, axis=1)], axis=1).astype(jnp.int32)
+
+        colgrp_len = col_tab[:, :, 1] - col_tab[:, :, 0]
+        diag = {
+            "max_cell_occupancy_engine": jnp.max(cnt),
+            "max_batch_centers": jnp.max(batch_c),
+            "max_colgrp_len": jnp.max(colgrp_len),
+            # binding: occupancy beyond LAYERS*SLOT drops pairs
+            "slot_overflow": jnp.max(cnt) > self.layers * SLOT,
+            # binding: a column range beyond the out half is clamped
+            "group_overflow": jnp.max(colgrp_len) > self.half,
+            "max_layers_used": jnp.max(lg),
+        }
+
+        def _nxt(tab):
+            return jnp.concatenate([tab[1:], jnp.zeros_like(tab[:1])],
+                                   axis=0)
+
+        col2 = jnp.concatenate([col_tab, _nxt(col_tab)], axis=1)
+        return SlotCtx(dense_idx=dense_idx, ctr_tab=ctr_tab, col_tab=col2,
+                       zinfo=zinfo, mxt_tab=mxt_tab, diag=diag)
+
+    # ------------------------------------------------------------------
+    def traverse(self, ctx: SlotCtx, x, fields: Dict[str, jnp.ndarray],
+                 term_fn, out_specs: Dict[str, str],
+                 mode: str = "legacy", pair_dots=(), epilogue=None):
+        n = x.shape[0]
+        field_names = sorted(fields.keys())
+        gidx = jnp.arange(n, dtype=jnp.float32)
+
+        cols = [x[:, 0], x[:, 1], x[:, 2], gidx]
+        name_to_idx = {"x0": 0, "x1": 1, "x2": 2, "gidx": 3}
+        for fn_ in field_names:
+            name_to_idx[fn_] = len(cols)
+            cols.append(fields[fn_].astype(jnp.float32))
+        f_used = len(cols)
+        f_pad = max(8, -(-f_used // 8) * 8)
+        while len(cols) < f_pad:
+            cols.append(jnp.zeros((n,), jnp.float32))
+
+        lanes = jnp.stack(cols, axis=0)
+        lanes = jnp.pad(lanes, ((0, 0), (0, self.csp + 128)))
+        lanes = lanes.at[3, n:].set(-1.0)
+
+        # slot-dense candidate buffer (the one gather of this design)
+        dense = jnp.take(lanes, ctx.dense_idx, axis=1)
+
+        out_names = sorted(out_specs.keys())
+        out_cols = []
+        for o in out_names:
+            out_cols.append((o, 3 if out_specs[o] in ("vec", "radial")
+                             else 1))
+
+        sc_arr = jnp.zeros((1, 16), jnp.float32)
+        epi_fn, epi_cols = None, None
+        if epilogue is not None:
+            epi_fn, epi_specs, scalars = epilogue
+            epi_cols = [(o, int(epi_specs[o])) for o in sorted(epi_specs)]
+            assert sum(nc for _, nc in out_cols) <= 64
+            assert sum(nc for _, nc in epi_cols) <= 64
+            scalars = jnp.asarray(scalars, jnp.float32).reshape(-1)
+            sc_arr = sc_arr.at[0, :scalars.shape[0]].set(scalars)
+
+        kernel = functools.partial(
+            self._kernel, term_fn=term_fn, name_to_idx=name_to_idx,
+            out_cols=out_cols, f_pad=f_pad, mxu=(mode == "mxu"),
+            pair_dots=tuple(pair_dots), epi_fn=epi_fn, epi_cols=epi_cols)
+
+        nbz = self.nbz
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+            grid=(self.n_groups,),
+            in_specs=[
+                pl.BlockSpec((1, 4, nbz + 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4, 2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2, nbz), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 16), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),   # epilogue scalars
+                pl.BlockSpec(memory_space=pl.ANY),   # lanes (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # dense (HBM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 4, self.layers, f_pad, 4 * self.nzs),
+                           jnp.float32),   # dense col slabs, double-buffered
+                pltpu.VMEM((2, 2, f_pad, self.csp),
+                           jnp.float32),   # own-column center slabs
+                pltpu.VMEM((f_pad + 1, SB * 16 * WC),
+                           jnp.float32),   # superbatch candidate tiles
+                pltpu.VMEM((2 * (self.half + 128), f_pad),
+                           jnp.float32),   # centers (transposed)
+                pltpu.VMEM((2 * (self.half + 64), 128),
+                           jnp.float32),   # out
+                pltpu.SemaphoreType.DMA((4, self.layers)),  # dense slabs
+                pltpu.SemaphoreType.DMA((2,)),              # center slabs
+                pltpu.SemaphoreType.DMA((2,)),              # writeback cols
+            ],
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(ctx.ctr_tab, ctx.col_tab, ctx.zinfo, ctx.mxt_tab, sc_arr,
+          lanes, dense)
+
+        outs = {}
+        pos = 64 if epilogue is not None else 0
+        for o, ncomp in (epi_cols if epilogue is not None else out_cols):
+            if ncomp == 3:
+                outs[o] = (out[:n, pos], out[:n, pos + 1], out[:n, pos + 2])
+            else:
+                outs[o] = out[:n, pos]
+            pos += ncomp
+        return outs
+
+    # ------------------------------------------------------------------
+    def _kernel(self, ctr_ref, col_ref, zi_ref, mxt_ref, sc_ref,
+                lanes_hbm, dense_hbm, out_hbm, win_scr, csrc_scr, cand_scr,
+                ctr_scr, out_scr, dsems, csems, wsems, *, term_fn,
+                name_to_idx, out_cols, f_pad, mxu=False, pair_dots=(),
+                epi_fn=None, epi_cols=None):
+        nzs, R, h2 = self.nzs, self.R, self.h2
+        ny2 = self.ny2
+        nby = self.nby
+        LAYERS = self.layers
+        HALF_CTR = self.half + 128
+        HALF_OUT = self.half + 64
+        CSP = self.csp
+
+        col_lo = [col_ref[0, c, 0] for c in (0, 1)]
+        col_hi = [col_ref[0, c, 1] for c in (0, 1)]
+        col_len = [col_hi[c] - col_lo[c] for c in (0, 1)]
+        grp_len = col_len[0] + col_len[1]
+        nxt_len = (col_ref[0, 2, 1] - col_ref[0, 2, 0]) \
+            + (col_ref[0, 3, 1] - col_ref[0, 3, 0])
+
+        i_g = pl.program_id(0)
+        buf = jax.lax.rem(i_g, jnp.int32(2))
+        nbuf = jnp.int32(1) - buf
+
+        b0 = zi_ref[0, 0, 0]
+        b1 = zi_ref[0, 0, 1]
+        lg = zi_ref[0, 0, 2]
+        lg_next = zi_ref[0, 0, 3]
+
+        def dense_base(g, c):
+            ix0 = g // jnp.int32(nby)
+            iy0 = jax.lax.rem(g, jnp.int32(nby))
+            row = (2 * ix0 + c) * jnp.int32(ny2) + 2 * iy0
+            return pl.multiple_of(row * jnp.int32(nzs), 128)
+
+        def dense_copy(b, g, c, L):
+            return pltpu.make_async_copy(
+                dense_hbm.at[:, pl.ds(jnp.int32(L * R) + dense_base(g, c),
+                                      4 * nzs)],
+                win_scr.at[b, c, L], dsems.at[c, L])
+
+        def ctr_copy(b, c, lo):
+            # lo must be the TARGET group's column lo — the prefetch path
+            # passes the doubled col table's next-group rows, and the
+            # waiting instance reconstructs the identical descriptor from
+            # its own rows
+            albase = pl.multiple_of((lo // 128) * 128, 128)
+            return pltpu.make_async_copy(
+                lanes_hbm.at[:, pl.ds(albase, CSP)],
+                csrc_scr.at[b, c], csems.at[c])
+
+        def start_group(b, g, glen, glayers, glo):
+            for c in range(4):
+                for L in range(LAYERS):
+                    @pl.when((glen > 0) & (jnp.int32(L) < glayers))
+                    def _s(c=c, L=L):
+                        dense_copy(b, g, c, L).start()
+            for c in range(2):
+                @pl.when(glen > 0)
+                def _sc(c=c):
+                    ctr_copy(b, c, glo[c]).start()
+
+        import os as _os
+        _no_pf = bool(_os.environ.get("SLOTS_NO_PREFETCH"))
+
+        @pl.when((i_g == 0) | _no_pf)
+        def _seed():
+            start_group(buf, i_g, grp_len, lg, col_lo)
+
+        @pl.when(grp_len > 0)
+        def _wait():
+            for c in range(4):
+                for L in range(LAYERS):
+                    @pl.when(jnp.int32(L) < lg)
+                    def _w(c=c, L=L):
+                        dense_copy(buf, i_g, c, L).wait()
+            for c in range(2):
+                ctr_copy(buf, c, col_lo[c]).wait()
+
+        @pl.when((i_g + 1 < self.n_groups) & (not _no_pf))
+        def _prefetch():
+            start_group(nbuf, i_g + 1, nxt_len, lg_next,
+                        [col_ref[0, 2, 0], col_ref[0, 3, 0]])
+
+        @pl.when(grp_len > 0)
+        def _run():
+            # ---- transpose own columns' particles to sublanes ----
+            delta_c = []
+            for c in (0, 1):
+                albase = (col_lo[c] // 128) * 128
+                delta_g = col_lo[c] - albase
+                delta_c.append(delta_g)
+
+                def t_body(sb, _, c=c):
+                    off = jnp.minimum(sb * 256, jnp.int32(CSP - 256))
+                    off = pl.multiple_of(off, 128)
+                    dst = jnp.minimum(c * HALF_CTR + sb * 256,
+                                      jnp.int32(2 * HALF_CTR - 256))
+                    ctr_scr[pl.ds(dst, 256), :] = jnp.transpose(
+                        csrc_scr[buf, c, :, pl.ds(off, 256)])
+                    return 0
+
+                jax.lax.fori_loop(
+                    0, pl.cdiv(delta_g + col_len[c], 256), t_body, 0)
+
+            def super_body(T, _):
+                # layer-0 candidate tiles for all 8 sub-batches; per-
+                # (c, ri): one 128-aligned dynamic slice, then static
+                # sub-slices (the roll-free core of this engine)
+                def assemble(L):
+                    for c in range(4):
+                        for ri in range(4):
+                            sl = win_scr[buf, c, L, :,
+                                         pl.ds(ri * nzs + 128 * T, 256)]
+                            for zi in range(SB):
+                                k = ri * 4 + c   # iy-major window order
+                                dst = (zi * 16 + k) * WC
+                                seg = sl[:, 16 * zi:16 * zi + WC]
+                                cand_scr[0:f_pad, dst:dst + WC] = seg
+                                okm = seg[3:4, :] >= 0.0
+                                cand_scr[f_pad:f_pad + 1, dst:dst + WC] = \
+                                    okm.astype(jnp.float32)
+
+                def batch_math(L, t, ctile):
+                    mxc = jnp.maximum(mxt_ref[0, 1, t], 1)
+                    ctr_off = []
+                    ctr_cnt = []
+                    for r in range(4):
+                        cs = ctr_ref[0, r, t]
+                        ce = ctr_ref[0, r, t + 1]
+                        ctr_off.append(cs)
+                        ctr_cnt.append(ce - cs)
+                    valid_j = ctile[f_pad:f_pad + 1, :] > 0.5
+
+                    def ctr_sheet(cs_i, _):
+                        cen_rows = []
+                        for r in range(4):
+                            c = r % 2
+                            off = (delta_c[c] + ctr_off[r] + cs_i * CSL
+                                   - col_lo[c] + c * HALF_CTR)
+                            off = jnp.clip(off, c * HALF_CTR,
+                                           jnp.int32((c + 1) * HALF_CTR
+                                                     - CSL))
+                            seg = ctr_scr[pl.ds(off, CSL), :]
+                            cnt = ctr_cnt[r] - cs_i * CSL
+                            iota = jax.lax.broadcasted_iota(
+                                jnp.int32, (CSL, f_pad), 0)
+                            li = jax.lax.broadcasted_iota(
+                                jnp.int32, (CSL, f_pad), 1)
+                            inv = jnp.where(
+                                li == 0, jnp.float32(1e9),
+                                jnp.where(li == 3, jnp.float32(-1.0), 0.0))
+                            seg = jnp.where(iota < cnt, seg, inv)
+                            cen_rows.append(seg)
+                        cen = jnp.concatenate(cen_rows, axis=0)
+
+                        half_res = []
+                        for hj in (0, 1):
+                            lo_l = hj * 4 * WC
+                            hi_l = lo_l + 12 * WC
+                            cen_h = cen[hj * 2 * CSL:(hj + 1) * 2 * CSL, :]
+                            fi = {k_: cen_h[:, v:v + 1]
+                                  for k_, v in name_to_idx.items()}
+                            fj = {k_: ctile[v:v + 1, lo_l:hi_l]
+                                  for k_, v in name_to_idx.items()}
+                            rvec = (fi["x0"] - fj["x0"],
+                                    fi["x1"] - fj["x1"],
+                                    fi["x2"] - fj["x2"])
+                            d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
+                                  + rvec[2] * rvec[2])
+                            rn = jnp.sqrt(d2)
+                            mask = (valid_j[:, lo_l:hi_l] & (d2 < h2)
+                                    & (fi["gidx"] != fj["gidx"]))
+
+                            if mxu:
+                                dots = {}
+                                for u in pair_dots:
+                                    du = tuple(
+                                        fi[f"{u}{dd}"] - fj[f"{u}{dd}"]
+                                        for dd in range(3))
+                                    dots[u] = (du[0] * rvec[0]
+                                               + du[1] * rvec[1]
+                                               + du[2] * rvec[2])
+                                contribs = term_fn(fi, fj, d2, rn, dots)
+                            else:
+                                contribs = term_fn(fi, fj, rvec, rn)
+
+                            pieces = []
+                            for o, ncomp in out_cols:
+                                cc = contribs[o]
+                                if ncomp == 3 and mxu:      # radial
+                                    cc = jnp.broadcast_to(cc, mask.shape)
+                                    cc = jnp.where(mask, cc, 0.0)
+                                    for rv in rvec:
+                                        pieces.append(jnp.sum(
+                                            cc * rv, axis=1, keepdims=True))
+                                else:
+                                    comps = cc if ncomp == 3 else (cc,)
+                                    for comp in comps:
+                                        comp = jnp.broadcast_to(
+                                            comp, mask.shape)
+                                        pieces.append(jnp.sum(
+                                            jnp.where(mask, comp, 0.0),
+                                            axis=1, keepdims=True))
+                            half_res.append(
+                                jnp.concatenate(pieces, axis=1))
+                        res = jnp.concatenate(half_res, axis=0)
+                        pad = 128 - res.shape[1]
+                        if pad:
+                            res = jnp.concatenate(
+                                [res,
+                                 jnp.zeros((4 * CSL, pad), jnp.float32)],
+                                axis=1)
+
+                        for r in range(4):
+                            c = r % 2
+                            off = (ctr_off[r] + cs_i * CSL - col_lo[c]
+                                   + c * HALF_OUT)
+                            off = jnp.clip(off, c * HALF_OUT,
+                                           jnp.int32((c + 1) * HALF_OUT
+                                                     - CSL))
+                            cnt = ctr_cnt[r] - cs_i * CSL
+                            iota = jax.lax.broadcasted_iota(
+                                jnp.int32, (CSL, 128), 0)
+                            rr = res[r * CSL:(r + 1) * CSL, :]
+                            cur = out_scr[pl.ds(off, CSL), :]
+                            val = jnp.where(L == 0, rr, cur + rr)
+                            out_scr[pl.ds(off, CSL), :] = jnp.where(
+                                iota < cnt, val, cur)
+                        return 0
+
+                    jax.lax.fori_loop(0, pl.cdiv(mxc, CSL), ctr_sheet, 0)
+
+                for L in range(LAYERS):   # static unroll (small)
+                    @pl.when(jnp.int32(L) < lg)
+                    def _layer(L=L):
+                        assemble(L)
+
+                        def zi_body(zi, _, L=L):
+                            t = T * SB + zi
+                            tc = jnp.minimum(t, jnp.int32(self.nbz - 1))
+                            lt_t = mxt_ref[0, 0, tc]
+                            mxc_real = mxt_ref[0, 1, tc]
+
+                            @pl.when((t >= b0) & (t < b1)
+                                     & (mxc_real > 0)
+                                     & (jnp.int32(L) < lt_t))
+                            def _m(zi=zi, t=t, L=L):
+                                off = pl.multiple_of(zi * 16 * WC, 128)
+                                sub = cand_scr[:, pl.ds(off, 16 * WC)]
+                                batch_math(jnp.int32(L), t, sub)
+                            return 0
+
+                        jax.lax.fori_loop(0, SB, zi_body, 0)
+                return 0
+
+            T0 = b0 // SB
+            T1 = pl.cdiv(b1, SB)
+            jax.lax.fori_loop(T0, T1, super_body, 0)
+
+            # ---- in-kernel epilogue (same contract as BlockEngine) ----
+            if epi_fn is not None:
+                EPR = min(256, self.half)
+                sc_vals = [sc_ref[0, j] for j in range(16)]
+                npair_cols = out_cols
+
+                def epi_chunk(k, _, c, L):
+                    q = jnp.maximum(jnp.minimum(k * EPR, L - EPR), 0)
+                    off_o = c * HALF_OUT + q
+                    srow = out_scr[pl.ds(off_o, EPR), :]
+                    cen = ctr_scr[pl.ds(c * HALF_CTR + delta_c[c] + q,
+                                        EPR), :]
+                    fi = {nm: cen[:, v:v + 1]
+                          for nm, v in name_to_idx.items()}
+                    sums = {}
+                    pos = 0
+                    for o, ncomp in npair_cols:
+                        sums[o] = srow[:, pos:pos + ncomp]
+                        pos += ncomp
+                    res = epi_fn(fi, sums, sc_vals)
+                    packed = jnp.concatenate(
+                        [res[o] for o, _ in epi_cols], axis=1)
+                    pw = packed.shape[1]
+                    out_scr[pl.ds(off_o, EPR), :] = jnp.concatenate(
+                        [srow[:, :64], packed,
+                         jnp.zeros((EPR, 64 - pw), jnp.float32)], axis=1)
+                    return 0
+
+                for c in (0, 1):
+                    Lc = jnp.minimum(col_len[c], jnp.int32(self.half))
+                    jax.lax.fori_loop(
+                        0, pl.cdiv(jnp.maximum(Lc, 1), EPR),
+                        functools.partial(epi_chunk, c=c, L=Lc), 0)
+
+            # ---- exact-tail writeback, phased (as BlockEngine) ----
+            def wb_copy(c, src, size):
+                return pltpu.make_async_copy(
+                    out_scr.at[pl.ds(c * HALF_OUT + src, size), :],
+                    out_hbm.at[pl.ds(col_lo[c] + src, size), :],
+                    wsems.at[c])
+
+            def wb_phase(do):
+                for c in (0, 1):
+                    Lc = jnp.minimum(col_len[c], jnp.int32(self.half))
+
+                    def out_body(k, _, c=c):
+                        do(wb_copy(c, k * OUT_CHUNK, OUT_CHUNK))
+                        return 0
+
+                    jax.lax.fori_loop(0, Lc // OUT_CHUNK, out_body, 0)
+
+                    @pl.when((Lc % OUT_CHUNK > 0) & (Lc >= OUT_CHUNK))
+                    def _tail(c=c, Lc=Lc):
+                        do(wb_copy(c, Lc - OUT_CHUNK, OUT_CHUNK))
+
+                    for lo, hi, size in ((64, OUT_CHUNK, 64), (8, 64, 8)):
+                        @pl.when((Lc >= lo) & (Lc < hi))
+                        def _level(c=c, Lc=Lc, size=size):
+                            def body(k, _, c=c, size=size):
+                                do(wb_copy(c, k * size, size))
+                                return 0
+                            jax.lax.fori_loop(0, Lc // size, body, 0)
+
+                            @pl.when(Lc % size > 0)
+                            def _ov(c=c, Lc=Lc, size=size):
+                                do(wb_copy(c, Lc - size, size))
+
+                    @pl.when(Lc < 8)
+                    def _tiny(c=c, Lc=Lc):
+                        def one(k, _, c=c):
+                            do(wb_copy(c, k, 1))
+                            return 0
+                        jax.lax.fori_loop(0, Lc, one, 0)
+
+            wb_phase(lambda cp: cp.start())
+            wb_phase(lambda cp: cp.wait())

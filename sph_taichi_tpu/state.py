@@ -135,6 +135,8 @@ class SimParams:
     # reach ~864 particles as fluid crosses cell planes, so 4-row spans
     # reach ~3456; 3072 silently clipped them at the old threshold)
     blocks_col_cap: int = 2048    # particles per own ix-column (out half)
+    # v4 slot-dense engine (ops/pallas_slots.py) knobs
+    slot_layers: int = 2          # dense layers (capacity = 8*layers/cell)
     # spatial sharding (parallel/sharding.py): local extended grid override
     grid_num_override: tuple = ()
     axis_name: str = ""           # mesh axis for cross-device reductions

@@ -75,7 +75,8 @@ class StepTimer:
 # the group-level center transpose and are intentionally absent here.)
 FATAL_OVERFLOW_KEYS = ("span_overflow", "group_overflow",
                        "neighbor_overflow", "spill_overflow",
-                       "migration_overflow", "halo_overflow")
+                       "migration_overflow", "halo_overflow",
+                       "slot_overflow")
 
 
 def check_overflow(metrics, where="step", strict=False):
