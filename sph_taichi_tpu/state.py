@@ -136,7 +136,9 @@ class SimParams:
     # reach ~3456; 3072 silently clipped them at the old threshold)
     blocks_col_cap: int = 2048    # particles per own ix-column (out half)
     # v4 slot-dense engine (ops/pallas_slots.py) knobs
-    slot_layers: int = 2          # dense layers (capacity = 8*layers/cell)
+    slot_layers: int = 4          # dense layers (capacity = 8*layers/cell;
+    #                               4 matches the default cell_cap of 32 —
+    #                               evolved occupancy overruns 16/cell)
     # spatial sharding (parallel/sharding.py): local extended grid override
     grid_num_override: tuple = ()
     axis_name: str = ""           # mesh axis for cross-device reductions
