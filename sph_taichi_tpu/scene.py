@@ -231,13 +231,21 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
 
         span_need = _round_up(int(w4.max()) * 1.7 + 512, 256)
         col_need = _round_up(int(w2.max()) * 1.7 + 64, 256)
+        # slot engine layers: per-CELL occupancy with the same 1.7x
+        # evolution margin (capacity = 8 * layers per cell; the fatal
+        # slot_overflow flag catches drift beyond the margin)
+        cells = np.zeros((gn[0], gn[1], gn[2]), np.int64)
+        np.add.at(cells, (cellc[:, 0], cellc[:, 1], cellc[:, 2]), 1)
+        layer_need = int(-(-int(cells.max() * 1.7 + 4) // 8))
         import dataclasses as _dc
         params = _dc.replace(
             params,
             blocks_span_cap=int(config.get_tpu_cfg(
                 "blocksSpanCap", min(max(span_need, 1024), 6144))),
             blocks_col_cap=int(config.get_tpu_cfg(
-                "blocksColCap", min(max(col_need, 512), 4096))))
+                "blocksColCap", min(max(col_need, 512), 4096))),
+            slot_layers=int(config.get_tpu_cfg(
+                "slotLayers", min(max(layer_need, 2), 8))))
 
     particles = make_particles(np_arrays, n_pad, with_dfsph=(method in (2, 4)))
     objects = SceneObjects(object_collection=object_collection,
