@@ -206,3 +206,20 @@ def test_block_two_way_rigid_equivalence_dfsph():
     sg = _run(4, "gather", 2, scene=d)
     sp = _run(4, "pallas_blocks_interpret", 2, scene=d)
     _assert_states_close(sg, sp, matched=True)
+
+
+def test_block_two_way_rigid_equivalence_pcisph():
+    """PCISPH with a dynamic rigid block on the blocks engine: covers
+    the fused correction/predict epilogues alongside the dynamic-rigid
+    advect branch."""
+    d = small_scene_dict(method=1)
+    d["RigidBlocks"] = [{
+        "objectId": 1,
+        "start": [0.55, 0.1, 0.1], "end": [0.85, 0.4, 0.4],
+        "translation": [0.0, 0.0, 0.0], "scale": [1.0, 1.0, 1.0],
+        "velocity": [0.0, 0.0, 0.0], "density": 1000.0,
+        "color": [100, 100, 100], "isDynamic": True,
+    }]
+    sg = _run(1, "gather", 2, scene=d)
+    sp = _run(1, "pallas_blocks_interpret", 2, scene=d)
+    _assert_states_close(sg, sp, matched=True)
