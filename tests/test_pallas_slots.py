@@ -45,14 +45,16 @@ def test_slot_traversal_matches_oracle(rng):
     x = np.asarray(particles.x).copy()
     cell = params.grid_size
     c0 = np.array([4, 4, 4]) * cell + 0.05 * cell
-    m = min(int((np.asarray(particles.material) != -1).sum()), 120)
+    # ~8 cells x ~12/cell: exercises layer 2 without a deep layer
+    # unroll (interpret-mode compile time scales with the unroll)
+    m = min(int((np.asarray(particles.material) != -1).sum()), 96)
     x[:m] = (c0 + rng.uniform(0, 1.9 * cell, size=(m, 3))).astype(np.float32)
     particles = particles._replace(x=_jnp.asarray(x))
 
     h = params.support_radius
     outs = {}
     for backend in ("gather", "pallas_slots_interpret"):
-        p2 = dataclasses.replace(params, backend=backend, slot_layers=16)
+        p2 = dataclasses.replace(params, backend=backend, slot_layers=4)
         eng = _me(p2)
         ps, ctx, diag = _bas(particles, p2, eng)
 
@@ -91,6 +93,7 @@ def test_slot_solver_equivalence_clumped(rng):
     cfg = SimConfig(config_dict=d)
     params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
     x = _clumped_positions(rng, params, particles)
+    # clumps reach ~50/cell: 8 layers (capacity 64) keeps this exact
     sg = _run(0, "gather", 1, perturb=x, slot_layers=8)
     sp = _run(0, "pallas_slots_interpret", 1, perturb=x, slot_layers=8)
     _assert_states_close(sg, sp)
