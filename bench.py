@@ -83,6 +83,33 @@ def main():
     args = ap.parse_args()
 
     os.chdir(os.path.dirname(os.path.abspath(__file__)))
+
+    # Backend availability probe, in a SUBPROCESS: a wedged axon worker
+    # pool blocks backend init inside a C call forever (SIGALRM cannot
+    # interrupt it — round-3 outage, docs/DESIGN.md).  The probe uses a
+    # claim-free remote compile so it cannot leave a lingering device
+    # claim that would block the real bench below.  On timeout, emit an
+    # honest zero with a diagnostic instead of hanging the driver.
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.jit(lambda x: x + 1).lower(jnp.ones((8,))).compile();"
+             "print('ok')"],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("BENCH_PROBE_BUDGET_S", "600")))
+        probe_ok = probe.returncode == 0 and "ok" in probe.stdout
+        probe_msg = (probe.stderr or "")[-180:]
+    except subprocess.TimeoutExpired:
+        probe_ok, probe_msg = False, "backend probe timed out"
+    if not probe_ok:
+        print(json.dumps({
+            "metric": "dragon_bath_420k_wcsph_fps", "value": 0.0,
+            "unit": "steps/s", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {probe_msg}"}))
+        return
+
     import jax
     # persistent compile cache: dragon/armadillo-scale programs take
     # minutes to compile through the remote service; cache hits make
