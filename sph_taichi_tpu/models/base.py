@@ -38,7 +38,7 @@ from sph_taichi_tpu.ops.kernels import (
 from sph_taichi_tpu.ops.grid import (
     compute_cell_ids, sort_by_cell, cell_offsets, max_cell_occupancy)
 from sph_taichi_tpu.ops.linalg import polar_rotation
-from sph_taichi_tpu.ops.pairs import make_engine, vdot, vscale
+from sph_taichi_tpu.ops.pairs import make_engine
 
 
 # ---------------------------------------------------------------------------

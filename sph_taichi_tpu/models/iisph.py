@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from sph_taichi_tpu.state import MATERIAL_FLUID, MATERIAL_SOLID, Particles
 from sph_taichi_tpu.ops.kernels import (
     cubic_kernel, cubic_kernel_derivative_scalar)
-from sph_taichi_tpu.ops.pairs import vdot, vscale
 from sph_taichi_tpu.models.base import (
     SPHBase, compute_densities, ectx, restore_tail, sync_fields)
 

@@ -30,9 +30,8 @@ from sph_taichi_tpu.state import (
     MATERIAL_FLUID, MATERIAL_PAD, MATERIAL_SOLID, Particles)
 from sph_taichi_tpu.ops.kernels import (
     cubic_kernel, cubic_kernel_derivative_scalar)
-from sph_taichi_tpu.ops.pairs import vdot, vscale
 from sph_taichi_tpu.models.base import (
-    SPHBase, compute_densities, ectx, sync_fields)
+    SPHBase, compute_densities, ectx)
 
 
 class WCSPHSolver(SPHBase):
