@@ -244,8 +244,12 @@ class DFSPHSolver(SPHBase):
     # removes the per-iteration XLA elementwise stage but adds v (and
     # acc/is_dyn for reaction scenes) as traversal fields, pushing that
     # traversal's f_pad from 8 to 16 (double span-DMA/assembly volume).
-    # Device A/B decides the default.
-    fuse_solver_dv = True
+    # Device A/B (j85, evolved dragon_bath_dfsph, real v5e): fused
+    # 432.8 ms/step vs unfused 425.6 — the doubled assembly volume
+    # slightly outweighs the saved per-iteration XLA stage, so the
+    # default is UNFUSED.  (All other DFSPH epilogue fusions — density+
+    # alpha, clamps, non-pressure+predict — have no f_pad cost and stay.)
+    fuse_solver_dv = False
 
     # ------------------------------------------------------------------
     def _solver_dv(self, p, ctx, kappa, with_reaction, dt,

@@ -190,10 +190,15 @@ def test_block_epilogue_transform(rng):
                                    rtol=1e-6, atol=1e-7)
 
 
-def test_block_two_way_rigid_equivalence_dfsph():
-    """DFSPH with a dynamic rigid block: covers the fused _solver_dv
-    reaction path (v + acc epilogue, 15 traversal fields) against the
-    unfused gather oracle."""
+@pytest.mark.parametrize("fuse_dv", [False, True])
+def test_block_two_way_rigid_equivalence_dfsph(fuse_dv, monkeypatch):
+    """DFSPH with a dynamic rigid block against the unfused gather
+    oracle, both sides of the fuse_solver_dv A/B knob: the production
+    default (False since j85 measured it 1.7% faster on device) and the
+    fused _solver_dv reaction path (v + acc epilogue, 15 traversal
+    fields) that would otherwise lose coverage."""
+    from sph_taichi_tpu.models.dfsph import DFSPHSolver
+    monkeypatch.setattr(DFSPHSolver, "fuse_solver_dv", fuse_dv)
     d = small_scene_dict(method=4)
     d["Configuration"]["timeStepSize"] = 4e-3
     d["RigidBlocks"] = [{
