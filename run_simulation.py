@@ -22,8 +22,13 @@ def main():
                         help="stop after N frames (0 = run forever)")
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--backend", default=None,
-                        choices=[None, "auto", "gather", "pallas"],
-                        help="pair-traversal engine override")
+                        choices=[None, "auto", "gather", "pallas_blocks",
+                                 "pallas_slots", "pallas"],
+                        help="pair-traversal engine override.  'auto' "
+                        "selects pallas_blocks (v3, production) on TPU; "
+                        "'pallas' is the retired v2 row engine that "
+                        "MIS-SUMS on real TPU at high occupancy (kept "
+                        "for A/B only; make_engine warns)")
     parser.add_argument("--checkpoint_interval", type=int, default=0)
     parser.add_argument("--resume", default="", help="checkpoint to resume")
     parser.add_argument("--quiet", action="store_true")

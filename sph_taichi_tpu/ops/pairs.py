@@ -186,6 +186,15 @@ def make_engine(params):
             else "gather"
     if backend == "pallas":
         from sph_taichi_tpu.ops.pallas_pairs import PallasEngine
+        if jax.default_backend() == "tpu":
+            import warnings
+            warnings.warn(
+                "backend='pallas' selects the RETIRED v2 row engine, "
+                "which mis-sums pair contributions on real TPU at high "
+                "cell occupancy (densities up to 1.45x off the oracle, "
+                "no capacity flag — docs/DESIGN.md round 3).  It is kept "
+                "only for A/B experiments; use 'pallas_blocks' (or "
+                "'auto') for correct device results.", stacklevel=2)
         return PallasEngine(params)
     if backend == "pallas_interpret":  # CPU validation of the TPU kernel
         from sph_taichi_tpu.ops.pallas_pairs import PallasEngine

@@ -103,6 +103,8 @@ class BlockEngine:
         self.sl = -(-(self.wc + 128) // 128) * 128   # aligned roll slab
         self.span = int(getattr(params, "blocks_span_cap", 0) or 2048)
         self.half = int(getattr(params, "blocks_col_cap", 0) or 2048)
+        self.reduce = getattr(params, "blocks_reduce", "sum") or "sum"
+        assert self.reduce in ("sum", "dot", "decomp"), self.reduce
         self.h2 = params.support_radius * params.support_radius
 
     # ------------------------------------------------------------------
@@ -576,23 +578,96 @@ class BlockEngine:
                             else:
                                 contribs = term_fn(fi, fj, rvec, rn)
 
-                            pieces = []
-                            for o, ncomp in out_cols:
-                                cc = contribs[o]
-                                if ncomp == 3 and mxu:      # radial
-                                    cc = jnp.broadcast_to(cc, mask.shape)
-                                    cc = jnp.where(mask, cc, 0.0)
-                                    for rv in rvec:
-                                        pieces.append(jnp.sum(
-                                            cc * rv, axis=1, keepdims=True))
-                                else:
-                                    comps = cc if ncomp == 3 else (cc,)
-                                    for comp in comps:
-                                        comp = jnp.broadcast_to(
-                                            comp, mask.shape)
-                                        pieces.append(jnp.sum(
-                                            jnp.where(mask, comp, 0.0),
-                                            axis=1, keepdims=True))
+                            if self.reduce == "sum":
+                                pieces = []
+                                for o, ncomp in out_cols:
+                                    cc = contribs[o]
+                                    if ncomp == 3 and mxu:      # radial
+                                        cc = jnp.broadcast_to(cc, mask.shape)
+                                        cc = jnp.where(mask, cc, 0.0)
+                                        for rv in rvec:
+                                            pieces.append(jnp.sum(
+                                                cc * rv, axis=1,
+                                                keepdims=True))
+                                    else:
+                                        comps = cc if ncomp == 3 else (cc,)
+                                        for comp in comps:
+                                            comp = jnp.broadcast_to(
+                                                comp, mask.shape)
+                                            pieces.append(jnp.sum(
+                                                jnp.where(mask, comp, 0.0),
+                                                axis=1, keepdims=True))
+                            else:
+                                # MXU lane reduction (round 4): stack every
+                                # output's masked coefficient rows into one
+                                # (R, 12*WC) tile and contract the lane axis
+                                # against the candidate tile itself in a
+                                # single dot_general (j84z/j85z microbench:
+                                # 0.56-1.25 us vs 2.0 us for the cross-lane
+                                # roll tree at (256,128)->8).  Column f_pad
+                                # of the rhs is the window-validity row
+                                # (0/1); C rows are pre-masked, so
+                                # contracting against it is the plain pair
+                                # sum.  "decomp": a radial output ships ONE
+                                # row (the masked scalar coefficient c) and
+                                # its vector sum sum_j c*(xi-xj) is rebuilt
+                                # as xi*S0 - S_x, with S_x = sum_j c*xj
+                                # riding rhs columns 0..2 of the SAME
+                                # matmul (cancellation changes rounding;
+                                # gated by the device parity probe).
+                                # "dot": the exact per-pair products
+                                # c*rvec_k stay as 3 rows (reference
+                                # summation values) and only the mask
+                                # column is read.
+                                rows_l, post = [], []
+                                for o, ncomp in out_cols:
+                                    cc = contribs[o]
+                                    if (ncomp == 3 and mxu
+                                            and self.reduce == "decomp"):
+                                        cm = jnp.where(
+                                            mask, jnp.broadcast_to(
+                                                cc, mask.shape), 0.0)
+                                        rows_l.append(cm)
+                                        post.append((o, "decomp"))
+                                    elif ncomp == 3 and mxu:
+                                        cm = jnp.where(
+                                            mask, jnp.broadcast_to(
+                                                cc, mask.shape), 0.0)
+                                        for rv in rvec:
+                                            rows_l.append(cm * rv)
+                                        post.append((o, "sum3"))
+                                    else:
+                                        comps = cc if ncomp == 3 else (cc,)
+                                        for comp in comps:
+                                            rows_l.append(jnp.where(
+                                                mask, jnp.broadcast_to(
+                                                    comp, mask.shape), 0.0))
+                                        post.append(
+                                            (o, "sum%d" % len(comps)))
+                                C = jnp.concatenate(rows_l, axis=0)
+                                S = jax.lax.dot_general(
+                                    C, cand[:, lo_l:hi_l],
+                                    dimension_numbers=(((1,), (1,)),
+                                                       ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+                                RH = 2 * CSL
+                                pieces, r0 = [], 0
+                                for o, kind in post:
+                                    if kind == "decomp":
+                                        blk = S[r0:r0 + RH, :]
+                                        s0 = blk[:, f_pad:f_pad + 1]
+                                        for k in range(3):
+                                            pieces.append(
+                                                fi["x%d" % k] * s0
+                                                - blk[:, k:k + 1])
+                                        r0 += RH
+                                    else:
+                                        for _ in range(int(kind[3:])):
+                                            pieces.append(
+                                                S[r0:r0 + RH,
+                                                  f_pad:f_pad + 1])
+                                            r0 += RH
                             half_res.append(jnp.concatenate(pieces, axis=1))
                         res = jnp.concatenate(half_res, axis=0)
                         pad = 128 - res.shape[1]

@@ -135,6 +135,15 @@ class SimParams:
     # reach ~864 particles as fluid crosses cell planes, so 4-row spans
     # reach ~3456; 3072 silently clipped them at the old threshold)
     blocks_col_cap: int = 2048    # particles per own ix-column (out half)
+    blocks_reduce: str = "sum"    # pair-sum reduction: "sum" (VPU roll
+    #                               tree), "dot" (MXU dot_general of the
+    #                               masked per-pair products against the
+    #                               candidate validity column — identical
+    #                               addends, MXU accumulation order),
+    #                               "decomp" (radial outputs as xi*S0-Sx
+    #                               from one coefficient row — fastest,
+    #                               position-scale cancellation changes
+    #                               rounding; see pallas_blocks.py)
     # v4 slot-dense engine (ops/pallas_slots.py) knobs
     slot_layers: int = 4          # dense layers (capacity = 8*layers/cell;
     #                               4 matches the default cell_cap of 32 —

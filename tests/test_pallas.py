@@ -269,3 +269,24 @@ def test_bundled_scene_capacities(scene):
     # lattice planes to occupancy 12): bound the magnitude instead
     assert int(diag["max_window_len"]) <= 2 * 64, diag
     assert not bool(diag["row_overflow"]), diag
+
+
+def test_v2_backend_warns_on_tpu(monkeypatch):
+    """Selecting the retired v2 row engine on a real TPU must warn loudly:
+    it mis-sums pair contributions on device at high cell occupancy
+    (docs/DESIGN.md round 3).  VERDICT r3 item 4."""
+    import warnings
+    import jax as _jax
+    from sph_taichi_tpu.ops import pairs as _pairs
+    d = small_scene_dict(method=0)
+    cfg = SimConfig(config_dict=d)
+    params, _, _ = build_scene(cfg)
+    params = dataclasses.replace(params, backend="pallas")
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    with pytest.warns(UserWarning, match="mis-sums"):
+        _pairs.make_engine(params)
+    # CPU (tests) stays silent: the interpret path is exact
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _pairs.make_engine(params)
