@@ -72,6 +72,100 @@ def bench_scene(scene, steps, warmup_chunks=1, backend=None):
         overflow
 
 
+def device_parity_probe():
+    """Production engine vs gather oracle ON THE REAL CHIP: one jitted
+    density+radial traversal over a clumped high-occupancy sample, max
+    relative error reported in the bench JSON (VERDICT r3 item 5).
+
+    Rationale: the v2 row engine mis-summed pair contributions on device
+    at high cell occupancy while interpret mode was exact (docs/DESIGN.md
+    round 3) — a class of regression `finite`+overflow checks cannot see.
+    This probe turns it into a number recorded every round.  The clump
+    (~200 particles in one cell) forces deep candidate+center sheets,
+    the same regime that exposed v2.  Covers a scalar and a radial
+    output, so it also gates the MXU reduction modes' rounding.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sph_taichi_tpu import SimConfig, build_scene
+    from sph_taichi_tpu.models.base import bin_and_sort
+    from sph_taichi_tpu.ops.kernels import (
+        cubic_kernel, cubic_kernel_derivative_scalar)
+    from sph_taichi_tpu.ops.pairs import make_engine
+
+    cfg = SimConfig(config_dict={
+        "Configuration": {
+            "domainStart": [0.0, 0.0, 0.0], "domainEnd": [1.0, 1.0, 1.0],
+            "particleRadius": 0.025, "density0": 1000,
+            "simulationMethod": 0, "gravitation": [0.0, -9.81, 0.0],
+            "timeStepSize": 4e-4, "stiffness": 50000, "exponent": 7,
+            "numberOfStepsPerRenderUpdate": 1,
+            "exportFrame": False, "exportPly": False, "exportObj": False,
+        },
+        "FluidBlocks": [{
+            "objectId": 0, "start": [0.1, 0.3, 0.1], "end": [0.5, 0.8, 0.5],
+            "translation": [0.0, 0.0, 0.0], "scale": [1, 1, 1],
+            "velocity": [0.0, -1.0, 0.0], "density": 1000.0,
+            "color": [50, 100, 200]}],
+    })
+    # oracle capacities sized for the clump: the gather side must be
+    # exact (neighbor_overflow asserted zero below)
+    params, particles, _ = build_scene(cfg, neighbor_cap=512, cell_cap=256)
+    rng = np.random.default_rng(31)
+    x = np.asarray(particles.x).copy()
+    n = int((np.asarray(particles.material) != -1).sum())
+    cell = params.grid_size
+    pad = params.padding
+    size = np.asarray(params.domain_size, np.float32)
+    x[:n] = rng.uniform(pad, size - pad, size=(n, 3)).astype(np.float32)
+    m = min(n, 200)
+    c0 = np.array([4, 4, 4]) * cell + 0.05 * cell
+    x[:m] = (c0 + rng.uniform(0, 0.9 * cell, size=(m, 3))
+             ).astype(np.float32)
+    particles = particles._replace(x=jnp.asarray(x))
+
+    h = params.support_radius
+    prod_backend = "pallas_blocks" \
+        if jax.default_backend() == "tpu" else "pallas_blocks_interpret"
+    outs = {}
+    for backend in ("gather", prod_backend):
+        p2 = dataclasses.replace(params, backend=backend)
+        eng = make_engine(p2)
+
+        @jax.jit
+        def run(parts, _eng=eng, _p2=p2):
+            ps, ctx, diag = bin_and_sort(parts, _p2, _eng)
+
+            def term(fi, fj, d2, rn, dots):
+                w = cubic_kernel(rn, h, _p2.dim)
+                gs = cubic_kernel_derivative_scalar(rn, h, _p2.dim)
+                return {"den": fj["m_V"] * w, "f": fj["m_V"] * gs}
+
+            out = _eng.traverse(ctx, ps.x, {"m_V": ps.m_V}, term,
+                                {"den": "scalar", "f": "radial"},
+                                mode="mxu")
+            return ps, out, diag
+
+        ps, out, diag = run(particles)
+        real = np.asarray(ps.material) != -1
+        xs = np.asarray(ps.x)[real]
+        order = np.argsort(xs[:, 0] * 1e6 + xs[:, 1] * 1e3 + xs[:, 2],
+                           kind="stable")
+        cols = [np.asarray(out["den"])] + [np.asarray(c)
+                                           for c in out["f"]]
+        outs[backend] = np.stack(
+            [c[real][order] for c in cols], axis=1)
+        if backend == "gather":
+            assert not bool(np.asarray(diag["neighbor_overflow"])), \
+                "parity oracle overflowed its neighbor capacity"
+    a, b = outs["gather"], outs[prod_backend]
+    scale = np.maximum(np.abs(a), 1e-3 * np.abs(a).max(axis=0))
+    return float(np.max(np.abs(a - b) / scale))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default=None,
@@ -147,6 +241,15 @@ def main():
         "backend": backend,
         "device": device,
     }
+
+    # on-device correctness probe (cheap; ~600 particles): catches the
+    # v2 class of silent device mis-summation that finite+overflow
+    # checks cannot see.  Failure is recorded, never fatal to the metric.
+    try:
+        result["device_parity_max_rel_err"] = round(
+            device_parity_probe(), 9)
+    except Exception as e:
+        result["device_parity_error"] = repr(e)[:200]
 
     if not args.skip_armadillo:
         # watchdog: a cold armadillo compile can take tens of minutes

@@ -190,13 +190,14 @@ def test_block_epilogue_transform(rng):
                                    rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("fuse_dv", [False, True])
+@pytest.mark.parametrize("fuse_dv", [True])
 def test_block_two_way_rigid_equivalence_dfsph(fuse_dv, monkeypatch):
     """DFSPH with a dynamic rigid block against the unfused gather
-    oracle, both sides of the fuse_solver_dv A/B knob: the production
-    default (False since j85 measured it 1.7% faster on device) and the
-    fused _solver_dv reaction path (v + acc epilogue, 15 traversal
-    fields) that would otherwise lose coverage."""
+    oracle, on the fused _solver_dv reaction path (v + acc epilogue, 15
+    traversal fields) that would otherwise lose coverage.  The unfused
+    production default (False since j85) is covered by the other DFSPH
+    equivalence tests; running both sides here doubled one of the
+    slowest tests for duplicate coverage (ADVICE r3)."""
     from sph_taichi_tpu.models.dfsph import DFSPHSolver
     monkeypatch.setattr(DFSPHSolver, "fuse_solver_dv", fuse_dv)
     d = small_scene_dict(method=4)
