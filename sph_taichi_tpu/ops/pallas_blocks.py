@@ -104,7 +104,13 @@ class BlockEngine:
         self.span = int(getattr(params, "blocks_span_cap", 0) or 2048)
         self.half = int(getattr(params, "blocks_col_cap", 0) or 2048)
         self.reduce = getattr(params, "blocks_reduce", "sum") or "sum"
-        assert self.reduce in ("sum", "dot", "decomp"), self.reduce
+        assert self.reduce in ("sum", "dot", "decomp", "ones"), self.reduce
+        self.reduce_prec = getattr(params, "blocks_reduce_prec",
+                                   "highest") or "highest"
+        self.tile = getattr(params, "blocks_tile", "half") or "half"
+        assert self.tile in ("half", "quarter"), self.tile
+        self.batch_unroll = int(
+            getattr(params, "blocks_batch_unroll", 0) or 1)
         self.h2 = params.support_radius * params.support_radius
 
     # ------------------------------------------------------------------
@@ -511,7 +517,6 @@ class BlockEngine:
                             okm.astype(jnp.float32)
 
                     cand = cand_scr[...]
-                    valid_j = cand[f_pad:f_pad + 1, :] > 0.5
 
                     def ctr_sheet(cs_i, _):
                         # ---- assemble center tile (4*CSL, f_pad) ----
@@ -538,23 +543,47 @@ class BlockEngine:
                             cen_rows.append(seg)
                         cen = jnp.concatenate(cen_rows, axis=0)  # (64,f_pad)
 
-                        # half-tile pair math: own iy-row j centers (cen
-                        # rows 2j*CSL..) only see the 12 windows with
-                        # ri in {j-1, j, j+1} — one contiguous 12*WC-lane
-                        # slice in iy-major window order.  Two (2*CSL,
-                        # 12*WC) tiles instead of one (4*CSL, 16*WC):
-                        # 25% less padded pair math for the same pairs.
-                        # The geometrically dead 4th ci in each ri-group
-                        # is excluded by d2 < h2 (cell size == h exactly,
+                        # tile pair math.  "half" (default): own iy-row j
+                        # centers (cen rows 2j*CSL..) only see the 12
+                        # windows with ri in {j-1, j, j+1} — one
+                        # contiguous 12*WC-lane slice in iy-major window
+                        # order.  Two (2*CSL, 12*WC) tiles instead of one
+                        # (4*CSL, 16*WC): 25% less padded pair math for
+                        # the same pairs.  "quarter" (round 4): each own
+                        # row (c, j) additionally drops its dead ci
+                        # column — its 9 true windows are 3 contiguous
+                        # 3*WC chunks (one per ri group, offset c*WC in
+                        # ci-minor order), concatenated into a (CSL,
+                        # 9*WC) tile: another 25% less padded math for 3
+                        # static slices + a lane concat per quarter.
+                        # Geometrically dead lanes that remain are
+                        # excluded by d2 < h2 (cell size == h exactly,
                         # state.py grid_size).
+                        tiles = []
+                        if self.tile == "quarter":
+                            for r in range(4):
+                                c_q, j_q = r % 2, r // 2
+                                cq = jnp.concatenate(
+                                    [cand[:, ((j_q + g) * 4 + c_q) * WC:
+                                           ((j_q + g) * 4 + c_q) * WC
+                                           + 3 * WC] for g in range(3)],
+                                    axis=1)
+                                tiles.append(
+                                    (cen[r * CSL:(r + 1) * CSL, :], cq,
+                                     CSL))
+                        else:
+                            for hj in (0, 1):
+                                lo_l = hj * 4 * WC
+                                tiles.append(
+                                    (cen[hj * 2 * CSL:(hj + 1) * 2 * CSL,
+                                         :],
+                                     cand[:, lo_l:lo_l + 12 * WC],
+                                     2 * CSL))
                         half_res = []
-                        for hj in (0, 1):
-                            lo_l = hj * 4 * WC
-                            hi_l = lo_l + 12 * WC
-                            cen_h = cen[hj * 2 * CSL:(hj + 1) * 2 * CSL, :]
+                        for cen_h, cq_t, RH in tiles:
                             fi = {k_: cen_h[:, v:v + 1]
                                   for k_, v in name_to_idx.items()}
-                            fj = {k_: cand[v:v + 1, lo_l:hi_l]
+                            fj = {k_: cq_t[v:v + 1, :]
                                   for k_, v in name_to_idx.items()}
                             rvec = (fi["x0"] - fj["x0"],
                                     fi["x1"] - fj["x1"],
@@ -562,7 +591,8 @@ class BlockEngine:
                             d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
                                   + rvec[2] * rvec[2])
                             rn = jnp.sqrt(d2)
-                            mask = (valid_j[:, lo_l:hi_l] & (d2 < h2)
+                            mask = ((cq_t[f_pad:f_pad + 1, :] > 0.5)
+                                    & (d2 < h2)
                                     & (fi["gidx"] != fj["gidx"]))
 
                             if mxu:
@@ -619,6 +649,9 @@ class BlockEngine:
                                 # c*rvec_k stay as 3 rows (reference
                                 # summation values) and only the mask
                                 # column is read.
+                                prec = (jax.lax.Precision.HIGHEST
+                                        if self.reduce_prec == "highest"
+                                        else jax.lax.Precision.DEFAULT)
                                 rows_l, post = [], []
                                 for o, ncomp in out_cols:
                                     cc = contribs[o]
@@ -645,18 +678,31 @@ class BlockEngine:
                                         post.append(
                                             (o, "sum%d" % len(comps)))
                                 C = jnp.concatenate(rows_l, axis=0)
-                                S = jax.lax.dot_general(
-                                    C, cand[:, lo_l:hi_l],
-                                    dimension_numbers=(((1,), (1,)),
-                                                       ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
-                                RH = 2 * CSL
+                                if self.reduce == "ones":
+                                    # standard-orientation matmul against
+                                    # a constant ones rhs: plain lane sum
+                                    # with no transposed-operand lowering
+                                    S = jax.lax.dot_general(
+                                        C, jnp.ones((cq_t.shape[1], 8),
+                                                    jnp.float32),
+                                        dimension_numbers=(((1,), (0,)),
+                                                           ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=prec)
+                                    f_col = 0
+                                else:
+                                    S = jax.lax.dot_general(
+                                        C, cq_t,
+                                        dimension_numbers=(((1,), (1,)),
+                                                           ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=prec)
+                                    f_col = f_pad
                                 pieces, r0 = [], 0
                                 for o, kind in post:
                                     if kind == "decomp":
                                         blk = S[r0:r0 + RH, :]
-                                        s0 = blk[:, f_pad:f_pad + 1]
+                                        s0 = blk[:, f_col:f_col + 1]
                                         for k in range(3):
                                             pieces.append(
                                                 fi["x%d" % k] * s0
@@ -666,7 +712,7 @@ class BlockEngine:
                                         for _ in range(int(kind[3:])):
                                             pieces.append(
                                                 S[r0:r0 + RH,
-                                                  f_pad:f_pad + 1])
+                                                  f_col:f_col + 1])
                                             r0 += RH
                             half_res.append(jnp.concatenate(pieces, axis=1))
                         res = jnp.concatenate(half_res, axis=0)
@@ -705,7 +751,8 @@ class BlockEngine:
                 jax.lax.fori_loop(0, pl.cdiv(mx, WC), sheet_body, 0)
 
             if ABLATE != "noloop":
-                jax.lax.fori_loop(b0, b1, batch_body, 0)
+                jax.lax.fori_loop(b0, b1, batch_body, 0,
+                                  unroll=self.batch_unroll)
 
             # ---- in-kernel epilogue on finished per-center sums ----
             # Row-chunk sweep per own column: read the pair-sum lanes

@@ -143,7 +143,19 @@ class SimParams:
     #                               "decomp" (radial outputs as xi*S0-Sx
     #                               from one coefficient row — fastest,
     #                               position-scale cancellation changes
-    #                               rounding; see pallas_blocks.py)
+    #                               rounding; see pallas_blocks.py),
+    #                               "ones" (standard-orientation matmul
+    #                               against a constant ones rhs)
+    blocks_reduce_prec: str = "highest"  # dot_general precision for the
+    #                               MXU reduce modes ("highest"|"default")
+    blocks_tile: str = "half"     # pair-math tile granularity: "half"
+    #                               (2 tiles of (2*CSL, 12*WC) per center
+    #                               sheet) or "quarter" (4 of (CSL, 9*WC):
+    #                               each own row drops its dead ci column
+    #                               — 25% less padded pair math for 3
+    #                               static slices + a concat per quarter)
+    blocks_batch_unroll: int = 1  # z-batch loop unroll factor (issue-
+    #                               overhead experiment; trace-time only)
     # v4 slot-dense engine (ops/pallas_slots.py) knobs
     slot_layers: int = 4          # dense layers (capacity = 8*layers/cell;
     #                               4 matches the default cell_cap of 32 —
