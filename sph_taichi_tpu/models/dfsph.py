@@ -151,7 +151,7 @@ class DFSPHSolver(SPHBase):
         factor = jnp.where(sum_grad_p_k > 1e-6, -1.0 / sum_grad_p_k, 0.0)
         return jnp.where(p.is_fluid(), factor, 0.0)
 
-    def _density_change(self, p: Particles, ctx, v):
+    def _density_change(self, p: Particles, ctx, v, lanes=None):
         """d(rho)/dt term, clamped >= 0, zeroed on particle deficiency
         (compute_density_change, DFSPH.py:158-194). Also returns the
         neighbor count used for the deficiency test."""
@@ -168,6 +168,10 @@ class DFSPHSolver(SPHBase):
                   "v0": v[:, 0], "v1": v[:, 1], "v2": v[:, 2]}
         specs = {"div": "scalar", "cnt": "scalar"}
         min_nbr = float(20 if params.dim == 3 else 7)
+        if lanes is not None:
+            assert tuple(sorted(fields)) == lanes.names, \
+                (sorted(fields), lanes.names)
+            fields = lanes
 
         if self._fused(ctx):
             def epi(fi, sums, sc):
@@ -190,7 +194,8 @@ class DFSPHSolver(SPHBase):
         adv = jnp.where(out["cnt"] < min_nbr, 0.0, adv)
         return jnp.where(p.is_fluid(), adv, 0.0)
 
-    def _density_adv(self, p: Particles, ctx, v, density, dt):
+    def _density_adv(self, p: Particles, ctx, v, density, dt,
+                     lanes=None):
         """rho*/rho0 = rho/rho0 + dt*div, clamped >= 1
         (compute_density_adv, DFSPH.py:197-218)."""
         params = self.params
@@ -209,6 +214,10 @@ class DFSPHSolver(SPHBase):
 
         if self._fused(ctx):
             fields["density"] = density
+            if lanes is not None:
+                assert tuple(sorted(fields)) == lanes.names, \
+                    (sorted(fields), lanes.names)
+                fields = lanes
 
             def epi(fi, sums, sc):
                 adv = fi["density"] / rho0 + sc[0] * sums["div"]
@@ -223,6 +232,10 @@ class DFSPHSolver(SPHBase):
             return _restore_tail(out["adv"], jnp.zeros_like(density),
                                  params)
 
+        if lanes is not None:
+            assert tuple(sorted(fields)) == lanes.names, \
+                (sorted(fields), lanes.names)
+            fields = lanes
         out = self.engine.traverse(
             ectx(ctx), p.x, fields,
             term, {"div": "scalar"}, mode="mxu", pair_dots=("v",))
@@ -251,9 +264,18 @@ class DFSPHSolver(SPHBase):
     # alpha, clamps, non-pressure+predict — have no f_pad cost and stay.)
     fuse_solver_dv = False
 
+    def _use_lanes(self, ctx):
+        """Prebuilt-lanes reuse across Jacobi iterations (BlockEngine
+        only; sharded runs rebuild fields at ghost-sync granularity).
+        Each iteration then refreshes only the changed rows (kappa, v)
+        instead of re-stacking the full (f_pad, n) kernel input slab."""
+        return (getattr(self.engine, "supports_lanes", False)
+                and not (hasattr(ctx, "ghost_sync")
+                         and ctx.ghost_sync is not None))
+
     # ------------------------------------------------------------------
     def _solver_dv(self, p, ctx, kappa, with_reaction, dt,
-                   v=None, acc=None):
+                   v=None, acc=None, lanes=None):
         """One Jacobi velocity update:
         dv_i = -dt * sum_fluid_j [k_i + k_j] grad_p_j
                -dt * sum_solid_j k_i grad_p_j         (gated on m_eps)
@@ -331,6 +353,10 @@ class DFSPHSolver(SPHBase):
             epi_specs = {"v": 3}
             if with_reaction:
                 epi_specs["acc"] = 3
+            if lanes is not None:
+                assert tuple(sorted(fields)) == lanes.names, \
+                    (sorted(fields), lanes.names)
+                fields = lanes
             out = self.engine.traverse(
                 ectx(ctx), p.x, fields, term, specs, mode="mxu",
                 epilogue=(epi, epi_specs, jnp.stack([dt])))
@@ -342,6 +368,10 @@ class DFSPHSolver(SPHBase):
                                         acc, self.params)
             return v_new, acc_new
 
+        if lanes is not None:
+            assert tuple(sorted(fields)) == lanes.names, \
+                (sorted(fields), lanes.names)
+            fields = lanes
         out = self.engine.traverse(ectx(ctx), p.x, fields, term, specs,
                                    mode="mxu")
         dv = dt * jnp.stack(out["dv"], axis=1)
@@ -353,20 +383,47 @@ class DFSPHSolver(SPHBase):
         """DFSPH.py:236-311 as a lax.while_loop."""
         factor = p.dfsph_factor / dt   # multiply_time_step(inv_dt)
         eta = (1.0 / dt) * self.max_error_V * 0.01 * self.density_0
-        adv0 = self._sync_arr(ctx, p, self._density_change(p, ctx, p.v))
         is_fluid_c = p.is_fluid()
         dv_fused = self._fused(ctx) and self.fuse_solver_dv
+
+        buf_dv = buf_dc = None
+        if self._use_lanes(ctx):
+            f_dv = {"material": p.material, "m_V": p.m_V,
+                    "kappa": jnp.zeros_like(p.density)}
+            if dv_fused:
+                for k in range(3):
+                    f_dv[f"v{k}"] = p.v[:, k]
+            buf_dv = self.engine.make_lanes(p.x, f_dv)
+            buf_dc = self.engine.make_lanes(
+                p.x, {"material": p.material, "m_V": p.m_V,
+                      "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]})
+
+        adv0 = self._sync_arr(ctx, p,
+                              self._density_change(p, ctx, p.v,
+                                                   lanes=buf_dc))
 
         def body(carry):
             v, adv, _, it = carry
             kappa = adv * factor
+            ldv = None
+            if buf_dv is not None:
+                ups = {"kappa": kappa}
+                if dv_fused:
+                    ups.update({f"v{k}": v[:, k] for k in range(3)})
+                ldv = self.engine.update_lanes(buf_dv, ups)
             if dv_fused:
-                v, _ = self._solver_dv(p, ctx, kappa, False, dt, v=v)
+                v, _ = self._solver_dv(p, ctx, kappa, False, dt, v=v,
+                                       lanes=ldv)
             else:
-                dv, _ = self._solver_dv(p, ctx, kappa, False, dt)
+                dv, _ = self._solver_dv(p, ctx, kappa, False, dt,
+                                        lanes=ldv)
                 v = jnp.where(is_fluid_c[:, None], v + dv, v)
             v = self._sync_vec(ctx, p, v)
-            adv = self._sync_arr(ctx, p, self._density_change(p, ctx, v))
+            ldc = None if buf_dc is None else self.engine.update_lanes(
+                buf_dc, {f"v{k}": v[:, k] for k in range(3)})
+            adv = self._sync_arr(ctx, p,
+                                 self._density_change(p, ctx, v,
+                                                      lanes=ldc))
             err = self._avg_density_error(p, adv, 0.0)
             return v, adv, err, it + 1
 
@@ -387,32 +444,65 @@ class DFSPHSolver(SPHBase):
         params = self.params
         factor = p.dfsph_factor / (dt * dt)
         eta = self.max_error * 0.01 * self.density_0
-        adv0 = self._sync_arr(ctx, p, self._density_adv(p, ctx, p.v,
-                                                        p.density, dt))
         is_fluid_c = p.is_fluid()
         is_dyn_rigid_c = p.is_dynamic_rigid()
         has_dyn_rigid = bool(params.dynamic_rigid_ids)
 
         dv_fused = self._fused(ctx) and self.fuse_solver_dv
 
+        buf_dv = buf_da = None
+        if self._use_lanes(ctx):
+            f_dv = {"material": p.material, "m_V": p.m_V,
+                    "kappa": jnp.zeros_like(p.density)}
+            if has_dyn_rigid:
+                f_dv["density"] = p.density
+            if dv_fused:
+                for k in range(3):
+                    f_dv[f"v{k}"] = p.v[:, k]
+                if has_dyn_rigid:
+                    f_dv["is_dyn"] = p.is_dynamic
+                    for k in range(3):
+                        f_dv[f"a{k}"] = p.acc[:, k]
+            buf_dv = self.engine.make_lanes(p.x, f_dv)
+            f_da = {"material": p.material, "m_V": p.m_V,
+                    "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]}
+            if self._fused(ctx):
+                f_da["density"] = p.density
+            buf_da = self.engine.make_lanes(p.x, f_da)
+
+        adv0 = self._sync_arr(ctx, p, self._density_adv(p, ctx, p.v,
+                                                        p.density, dt,
+                                                        lanes=buf_da))
+
         def body(carry):
             v, acc, adv, _, it = carry
             kappa = (adv - 1.0) * factor
+            ldv = None
+            if buf_dv is not None:
+                ups = {"kappa": kappa}
+                if dv_fused:
+                    ups.update({f"v{k}": v[:, k] for k in range(3)})
+                    if has_dyn_rigid:
+                        ups.update({f"a{k}": acc[:, k] for k in range(3)})
+                ldv = self.engine.update_lanes(buf_dv, ups)
             if dv_fused:
                 v, acc_new = self._solver_dv(p, ctx, kappa, has_dyn_rigid,
-                                             dt, v=v, acc=acc)
+                                             dt, v=v, acc=acc, lanes=ldv)
                 if has_dyn_rigid:
                     acc = acc_new
             else:
                 dv, react = self._solver_dv(p, ctx, kappa, has_dyn_rigid,
-                                            dt)
+                                            dt, lanes=ldv)
                 v = jnp.where(is_fluid_c[:, None], v + dv, v)
                 if has_dyn_rigid:
                     acc = jnp.where(is_dyn_rigid_c[:, None],
                                     acc + react, acc)
             v = self._sync_vec(ctx, p, v)
+            lda = None if buf_da is None else self.engine.update_lanes(
+                buf_da, {f"v{k}": v[:, k] for k in range(3)})
             adv = self._sync_arr(ctx, p, self._density_adv(p, ctx, v,
-                                                           p.density, dt))
+                                                           p.density, dt,
+                                                           lanes=lda))
             err = self._avg_density_error(p, adv, self.density_0)
             return v, acc, adv, err, it + 1
 

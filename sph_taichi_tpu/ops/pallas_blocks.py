@@ -60,7 +60,11 @@ CSL = 16          # center sublanes per own row per batch (Z*8 at Z=2)
 # write-back sweeps, "notr" = skip the own-column transposes (garbage
 # centers, correct volume), "noepi" = skip the epilogue transform
 # (raw pair sums land in the epilogue's output lanes reader — garbage
-# results, isolates the epilogue's cost).  Never set in production.
+# results, isolates the epilogue's cost), "dmaonly" = only the span
+# DMAs + grid scaffolding run (floor split), "nodma" = skip the span
+# DMA start/wait (compute on stale VMEM).  NOTE: "noepi" and "notr"
+# FAULT the TPU worker (kernel crash, rounds 3+4) — do not run them on
+# device.  Never set in production.
 ABLATE = ""
 
 
@@ -79,6 +83,13 @@ class BlockCtx(NamedTuple):
     diag: dict
 
 
+class LanesBuf(NamedTuple):
+    """Prebuilt kernel input slab (see BlockEngine.make_lanes)."""
+    arr: jnp.ndarray   # f32[f_pad, n + span + 128]
+    names: tuple       # sorted traversal field names (rows 4..4+len)
+    n: int
+
+
 class BlockEngine:
     # metric keys of BlockCtx.diag (sharded runs need the structure static)
     diag_keys = ("max_span_len", "max_window_len", "max_batch_centers",
@@ -87,6 +98,9 @@ class BlockEngine:
     # traverse() accepts an `epilogue` transform applied in-kernel to the
     # finished per-center pair sums before writeback (see traverse docs)
     supports_epilogue = True
+    # traverse() accepts a LanesBuf in place of the fields dict; solver
+    # Jacobi loops reuse one buffer across iterations (see make_lanes)
+    supports_lanes = True
 
     def __init__(self, params, interpret=False):
         assert params.dim == 3, "Block engine is 3D; 2D uses GatherEngine"
@@ -273,7 +287,42 @@ class BlockEngine:
                         diag=diag)
 
     # ------------------------------------------------------------------
-    def traverse(self, ctx: BlockCtx, x, fields: Dict[str, jnp.ndarray],
+    def make_lanes(self, x, fields: Dict[str, jnp.ndarray]) -> LanesBuf:
+        """Build the kernel's HBM lanes slab once, for reuse across
+        traversals with the same field set (solver Jacobi loops: DFSPH
+        runs ~2 traversals x ~10 iterations per substep, and rebuilding
+        the full (f_pad, n) stack+pad per traversal is pure XLA-glue
+        cost).  Rows that change between iterations are refreshed with
+        ``update_lanes`` — one row-sized dynamic_update_slice per changed
+        field.  Pass the returned LanesBuf to ``traverse`` in place of
+        the fields dict."""
+        n = x.shape[0]
+        field_names = sorted(fields.keys())
+        gidx = jnp.arange(n, dtype=jnp.float32)
+        cols = [x[:, 0], x[:, 1], x[:, 2], gidx]
+        for fn_ in field_names:
+            cols.append(fields[fn_].astype(jnp.float32))
+        f_pad = max(8, -(-len(cols) // 8) * 8)
+        while len(cols) < f_pad:
+            cols.append(jnp.zeros((n,), jnp.float32))
+        lanes = jnp.stack(cols, axis=0)
+        lanes = jnp.pad(lanes, ((0, 0), (0, self.span + 128)))
+        lanes = lanes.at[3, n:].set(-1.0)
+        return LanesBuf(arr=lanes, names=tuple(field_names), n=n)
+
+    def update_lanes(self, buf: LanesBuf,
+                     updates: Dict[str, jnp.ndarray]) -> LanesBuf:
+        """Refresh field rows of a prebuilt LanesBuf in place (the tail
+        past n stays zero; candidates there are masked by the gidx row)."""
+        arr = buf.arr
+        for name, col in updates.items():
+            row = 4 + buf.names.index(name)
+            arr = jax.lax.dynamic_update_slice(
+                arr, col.astype(jnp.float32)[None, :], (row, 0))
+        return buf._replace(arr=arr)
+
+    # ------------------------------------------------------------------
+    def traverse(self, ctx: BlockCtx, x, fields,
                  term_fn, out_specs: Dict[str, str],
                  mode: str = "legacy", pair_dots=(), epilogue=None):
         """Pair traversal; with ``epilogue`` the per-center pair sums are
@@ -298,23 +347,18 @@ class BlockEngine:
         j48/j50/j73); folding them into the kernel's writeback path
         removes them from the XLA program entirely.
         """
-        n = x.shape[0]
-        field_names = sorted(fields.keys())
-        gidx = jnp.arange(n, dtype=jnp.float32)
-
-        cols = [x[:, 0], x[:, 1], x[:, 2], gidx]
+        if isinstance(fields, LanesBuf):
+            buf = fields
+            n = buf.n
+            field_names = list(buf.names)
+            lanes = buf.arr
+        else:
+            buf = self.make_lanes(x, fields)
+            n, field_names, lanes = buf.n, list(buf.names), buf.arr
         name_to_idx = {"x0": 0, "x1": 1, "x2": 2, "gidx": 3}
-        for fn_ in field_names:
-            name_to_idx[fn_] = len(cols)
-            cols.append(fields[fn_].astype(jnp.float32))
-        f_used = len(cols)
-        f_pad = max(8, -(-f_used // 8) * 8)
-        while len(cols) < f_pad:
-            cols.append(jnp.zeros((n,), jnp.float32))
-
-        lanes = jnp.stack(cols, axis=0)
-        lanes = jnp.pad(lanes, ((0, 0), (0, self.span + 128)))
-        lanes = lanes.at[3, n:].set(-1.0)
+        for i, fn_ in enumerate(field_names):
+            name_to_idx[fn_] = 4 + i
+        f_pad = max(8, -(-(4 + len(field_names)) // 8) * 8)
 
         out_names = sorted(out_specs.keys())
         out_cols = []
@@ -426,17 +470,17 @@ class BlockEngine:
         # test grp_len(g) > 0 (from the doubled col table).
         @pl.when((i_g == 0) & (grp_len > 0))
         def _seed():
-            for c in range(4):
+            for c in (() if ABLATE == "nodma" else range(4)):
                 span_copy(buf, bases[c], c).start()
 
         @pl.when(grp_len > 0)
         def _wait():
-            for c in range(4):
+            for c in (() if ABLATE == "nodma" else range(4)):
                 span_copy(buf, bases[c], c).wait()
 
         @pl.when((nxt_len > 0) & (i_g + 1 < self.n_groups))
         def _prefetch():
-            for c in range(4):
+            for c in (() if ABLATE == "nodma" else range(4)):
                 span_copy(nbuf, nbases[c], c).start()
 
         @pl.when(grp_len > 0)
@@ -460,7 +504,7 @@ class BlockEngine:
                         win_scr[buf, c + 1, :, pl.ds(off, 256)])
                     return 0
 
-                if ABLATE != "notr":
+                if ABLATE not in ("notr", "dmaonly"):
                     jax.lax.fori_loop(
                         0, pl.cdiv(delta_g + col_len[c], 256), t_body, 0)
 
@@ -750,7 +794,7 @@ class BlockEngine:
 
                 jax.lax.fori_loop(0, pl.cdiv(mx, WC), sheet_body, 0)
 
-            if ABLATE != "noloop":
+            if ABLATE not in ("noloop", "dmaonly"):
                 jax.lax.fori_loop(b0, b1, batch_body, 0,
                                   unroll=self.batch_unroll)
 
@@ -762,7 +806,7 @@ class BlockEngine:
             # The exact-tail chunk (q clamped to L - EPR) re-reads only
             # untransformed sum lanes, so re-applying it is idempotent.
             # Rows past L compute garbage that the writeback never ships.
-            if epi_fn is not None and ABLATE != "noepi":
+            if epi_fn is not None and ABLATE not in ("noepi", "dmaonly"):
                 EPR = min(256, self.half)
                 sc_vals = [sc_ref[0, j] for j in range(16)]
 
@@ -842,6 +886,6 @@ class BlockEngine:
                             return 0
                         jax.lax.fori_loop(0, L, one, 0)
 
-            if ABLATE != "nowb":
+            if ABLATE not in ("nowb", "dmaonly"):
                 wb_phase(lambda cp: cp.start())
                 wb_phase(lambda cp: cp.wait())
