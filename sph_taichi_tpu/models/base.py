@@ -470,6 +470,7 @@ def compute_non_pressure_forces(p: Particles, ctx, engine,
         gl = [float(val) for val in np.asarray(g)]
 
         def epi(fi, sums, sc):
+            # row-major contract: (1, R) rows; sums are ncomp-tuples
             dtv = sc[0]
             fluid = fi["material"] == float(MATERIAL_FLUID)
             solid = fi["material"] == float(MATERIAL_SOLID)
@@ -477,14 +478,13 @@ def compute_non_pressure_forces(p: Particles, ctx, engine,
             dynm = fi["is_dyn"] > 0.5
             aout, vout = [], []
             for k in range(3):
-                a = gl[k] + jnp.where(fluid, sums["a"][:, k:k + 1], 0.0)
+                a = gl[k] + jnp.where(fluid, sums["a"][k], 0.0)
                 a = jnp.where(solid & ~dynm, 0.0, a)
                 a = jnp.where(padm, 0.0, a)
                 aout.append(a)
                 vout.append(jnp.where(fluid & dynm,
                                       fi[f"v{k}"] + dtv * a, fi[f"v{k}"]))
-            return {"acc": jnp.concatenate(aout, axis=1),
-                    "v": jnp.concatenate(vout, axis=1)}
+            return {"acc": tuple(aout), "v": tuple(vout)}
 
         out = engine.traverse(
             ectx(ctx), p.x, fields, term, {"a": "radial"}, mode="mxu",

@@ -91,12 +91,13 @@ class DFSPHSolver(SPHBase):
             fields["den0"] = p.density
 
             def epi(fi, sums, sc):
+                # row-major contract: (1, R) rows; sums are ncomp-tuples
                 fluid = fi["material"] == float(MATERIAL_FLUID)
-                den = fi["m_V"] * w0 + sums["den"]
+                den = fi["m_V"] * w0 + sums["den"][0]
                 density = jnp.where(fluid, den * rho0, fi["den0"])
                 g = sums["grad"]
-                s = (sums["sq"] + g[:, 0:1] * g[:, 0:1]
-                     + g[:, 1:2] * g[:, 1:2] + g[:, 2:3] * g[:, 2:3])
+                s = (sums["sq"][0] + g[0] * g[0] + g[1] * g[1]
+                     + g[2] * g[2])
                 factor = jnp.where(s > 1e-6, -1.0 / s, 0.0)
                 return {"density": density,
                         "factor": jnp.where(fluid, factor, 0.0)}
@@ -175,8 +176,8 @@ class DFSPHSolver(SPHBase):
 
         if self._fused(ctx):
             def epi(fi, sums, sc):
-                adv = jnp.maximum(sums["div"], 0.0)
-                adv = jnp.where(sums["cnt"] < min_nbr, 0.0, adv)
+                adv = jnp.maximum(sums["div"][0], 0.0)
+                adv = jnp.where(sums["cnt"][0] < min_nbr, 0.0, adv)
                 return {"adv": jnp.where(
                     fi["material"] == float(MATERIAL_FLUID), adv, 0.0)}
 
@@ -220,7 +221,7 @@ class DFSPHSolver(SPHBase):
                 fields = lanes
 
             def epi(fi, sums, sc):
-                adv = fi["density"] / rho0 + sc[0] * sums["div"]
+                adv = fi["density"] / rho0 + sc[0] * sums["div"][0]
                 adv = jnp.maximum(adv, 1.0)
                 return {"adv": jnp.where(
                     fi["material"] == float(MATERIAL_FLUID), adv, 0.0)}
@@ -335,19 +336,15 @@ class DFSPHSolver(SPHBase):
             def epi(fi, sums, sc):
                 dtv = sc[0]
                 fluid = fi["material"] == float(MATERIAL_FLUID)
-                vout = [jnp.where(
-                            fluid,
-                            fi[f"v{k}"] + dtv * sums["dv"][:, k:k + 1],
-                            fi[f"v{k}"]) for k in range(3)]
-                res = {"v": jnp.concatenate(vout, axis=1)}
+                res = {"v": tuple(
+                    jnp.where(fluid, fi[f"v{k}"] + dtv * sums["dv"][k],
+                              fi[f"v{k}"]) for k in range(3))}
                 if with_reaction:
                     dynr = ((fi["material"] == float(MATERIAL_SOLID))
                             & (fi["is_dyn"] > 0.5))
-                    aout = [jnp.where(
-                                dynr,
-                                fi[f"a{k}"] + sums["react"][:, k:k + 1],
-                                fi[f"a{k}"]) for k in range(3)]
-                    res["acc"] = jnp.concatenate(aout, axis=1)
+                    res["acc"] = tuple(
+                        jnp.where(dynr, fi[f"a{k}"] + sums["react"][k],
+                                  fi[f"a{k}"]) for k in range(3))
                 return res
 
             epi_specs = {"v": 3}

@@ -78,19 +78,18 @@ class IISPHSolver(SPHBase):
             gl = [float(val) for val in np.asarray(self.g)]
 
             def epi(fi, sums, sc):
+                # row-major contract: (1, R) rows; sums are ncomp-tuples
                 dtv = sc[0]
                 fluid = fi["material"] == float(MATERIAL_FLUID)
                 padm = fi["material"] == -1.0
                 aout, vout = [], []
                 for k in range(3):
-                    a = jnp.where(padm, 0.0,
-                                  gl[k] + sums["a"][:, k:k + 1])
+                    a = jnp.where(padm, 0.0, gl[k] + sums["a"][k])
                     aout.append(a)
                     vout.append(jnp.where(fluid,
                                           fi[f"v{k}"] + dtv * a,
                                           fi[f"v{k}"]))
-                return {"acc": jnp.concatenate(aout, axis=1),
-                        "v": jnp.concatenate(vout, axis=1)}
+                return {"acc": tuple(aout), "v": tuple(vout)}
 
             out = self.engine.traverse(
                 ectx(ctx), p.x, fields, term, {"a": "radial"},
@@ -148,12 +147,12 @@ class IISPHSolver(SPHBase):
                 dtv = sc[0]
                 g = sums["g"]
                 s = sums["s"]
-                dot_sg = (s[:, 0:1] * g[:, 0:1] + s[:, 1:2] * g[:, 1:2]
-                          + s[:, 2:3] * g[:, 2:3])
+                dot_sg = s[0] * g[0] + s[1] * g[1] + s[2] * g[2]
                 rho2 = fi["density"] * fi["density"]
                 a_ii = (dtv * dtv) * (rho0f * rho0f) * (
-                    -dot_sg - (fi["m_V"] / rho2) * sums["q"])
-                source = rho0f - fi["density"] - dtv * sums["div"] * rho0f
+                    -dot_sg - (fi["m_V"] / rho2) * sums["q"][0])
+                source = (rho0f - fi["density"]
+                          - dtv * sums["div"][0] * rho0f)
                 return {"a_ii": a_ii, "source": source,
                         "last_p": 0.5 * fi["pr"]}
 
@@ -221,14 +220,12 @@ class IISPHSolver(SPHBase):
                 fluid = fi["material"] == float(MATERIAL_FLUID)
                 vs, xs = [], []
                 for k in range(3):
-                    vk = jnp.where(fluid,
-                                   fi[f"v{k}"] + dtv * sums["ap"][:, k:k + 1],
+                    vk = jnp.where(fluid, fi[f"v{k}"] + dtv * sums["ap"][k],
                                    fi[f"v{k}"])
                     xs.append(jnp.where(fluid, fi[f"x{k}"] + dtv * vk,
                                         fi[f"x{k}"]))
                     vs.append(vk)
-                return {"v": jnp.concatenate(vs, axis=1),
-                        "x": jnp.concatenate(xs, axis=1)}
+                return {"v": tuple(vs), "x": tuple(xs)}
 
             out = self.engine.traverse(
                 ectx(ctx), p.x, fields, term, {"ap": "radial"},
@@ -272,7 +269,7 @@ class IISPHSolver(SPHBase):
             fields["last_p"] = last_p
 
             def epi(fi, sums, sc):
-                ap = sums["ap"] * sc[0] * rho0f
+                ap = sums["ap"][0] * sc[0] * rho0f
                 real_c = fi["material"] >= 0.0
                 new_p = jnp.where(
                     jnp.abs(fi["a_ii"]) > 1e-6,

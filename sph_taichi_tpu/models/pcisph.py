@@ -91,9 +91,10 @@ class PCISPHSolver(SPHBase):
             fields["pr"] = pressure
 
             def epi(fi, sums, sc):
+                # row-major contract: (1, R) rows; sums are ncomp-tuples
                 dtv, sfv = sc[0], sc[1]
                 fluid = fi["material"] == float(MATERIAL_FLUID)
-                d_rho = jnp.where(fluid, sums["div"] * rho0, 0.0)
+                d_rho = jnp.where(fluid, sums["div"][0] * rho0, 0.0)
                 rho_err = jnp.where(
                     fluid,
                     jnp.maximum(fi["density"] + dtv * d_rho - rho0, 0.0),
@@ -159,12 +160,12 @@ class PCISPHSolver(SPHBase):
                 fluid = fi["material"] == float(MATERIAL_FLUID)
                 vs = []
                 for k in range(3):
-                    apk = jnp.where(fluid, sums["ap"][:, k:k + 1], 0.0)
+                    apk = jnp.where(fluid, sums["ap"][k], 0.0)
                     vs.append(jnp.where(
                         fluid,
                         fi[f"v{k}"] + dtv * (fi[f"a{k}"] + apk),
                         fi[f"v{k}"]))
-                return {"vp": jnp.concatenate(vs, axis=1)}
+                return {"vp": tuple(vs)}
 
             out = self.engine.traverse(
                 ectx(ctx), x, fields, term, {"ap": "radial"}, mode="mxu",

@@ -156,6 +156,7 @@ class WCSPHSolver(SPHBase):
             cf = float(params.collision_factor)
 
             def epi(fi, sums, sc):
+                # row-major contract: every fi/sums value is a (1, R) row
                 dtv = sc[0]
                 fluid = fi["material"] == float(MATERIAL_FLUID)
                 solid = fi["material"] == float(MATERIAL_SOLID)
@@ -164,10 +165,10 @@ class WCSPHSolver(SPHBase):
                 xs, vs = [], []
                 for k in range(3):
                     # acc selection — same chain as the unfused path below
-                    a = gl[k] + jnp.where(fluid, sums["a"][:, k:k + 1], 0.0)
+                    a = gl[k] + jnp.where(fluid, sums["a"][k], 0.0)
                     if want_react:
                         a = jnp.where(solid & dynm,
-                                      gl[k] + sums["react"][:, k:k + 1], a)
+                                      gl[k] + sums["react"][k], a)
                     a = jnp.where(solid & ~dynm, 0.0, a)
                     a = jnp.where(padm, 0.0, a)
                     # symplectic Euler (WCSPH.py:143-149)
@@ -194,12 +195,10 @@ class WCSPHSolver(SPHBase):
                 vn = [jnp.where(nlen > 1e-6, vr[k], vs[k])
                       for k in range(3)]
                 active = fluid & dynm
-                return {"x": jnp.concatenate(
-                            [jnp.where(active, xn[k], xs[k])
-                             for k in range(3)], axis=1),
-                        "v": jnp.concatenate(
-                            [jnp.where(active, vn[k], vs[k])
-                             for k in range(3)], axis=1)}
+                return {"x": tuple(jnp.where(active, xn[k], xs[k])
+                                   for k in range(3)),
+                        "v": tuple(jnp.where(active, vn[k], vs[k])
+                                   for k in range(3))}
 
             epilogue = (epi, {"x": 3, "v": 3}, jnp.stack([dt]))
 

@@ -330,11 +330,14 @@ class BlockEngine:
         are returned instead.
 
         epilogue = (epi_fn, epi_specs, scalars):
-          - ``epi_fn(fi, sums, sc) -> {name: (R, ncomp) array}`` runs on
-            row chunks of finished centers.  ``fi`` maps every traversal
-            field name (plus x0/x1/x2/gidx) to its (R, 1) center column,
-            ``sums`` maps each out_specs name to its (R, ncomp) pair sum,
+          - ``epi_fn(fi, sums, sc) -> {name: (1, R) array or ncomp-tuple
+            of (1, R) arrays}`` runs on LANE-MAJOR chunks of finished
+            centers.  ``fi`` maps every traversal field name (plus
+            x0/x1/x2/gidx) to its (1, R) center row, ``sums`` maps each
+            out_specs name to an ncomp-tuple of (1, R) pair-sum rows,
             ``sc`` is a list of 16 traced scalars from ``scalars``.
+            (Row-major since round 4: the old (R, 1) column layout ran
+            every transform op at 1/128 VPU lane utilization.)
           - ``epi_specs``: {name: ncomp} for the returned outputs
             (total width <= 64).
           - ``scalars``: f32 vector (<= 16) of traced per-step values
@@ -487,6 +490,7 @@ class BlockEngine:
         def _run():
             # ---- transpose each own column's particles to sublanes ----
             delta_c = []
+            la_c = []
             for c in (0, 1):
                 loc_g = col_lo[c] - bases[c + 1]
                 la_g = jnp.minimum((loc_g // 128) * 128,
@@ -494,6 +498,7 @@ class BlockEngine:
                 la_g = pl.multiple_of(la_g, 128)
                 delta_g = loc_g - la_g
                 delta_c.append(delta_g)
+                la_c.append(la_g)
 
                 def t_body(sb, _, c=c, la_g=la_g):
                     off = jnp.minimum(la_g + sb * 256, jnp.int32(SPAN - 256))
@@ -799,10 +804,15 @@ class BlockEngine:
                                   unroll=self.batch_unroll)
 
             # ---- in-kernel epilogue on finished per-center sums ----
-            # Row-chunk sweep per own column: read the pair-sum lanes
-            # [0, 64) plus the center's own fields (ctr_scr row q sits at
-            # sublane offset delta_c[c] + q, alignment-free), apply the
-            # user transform, and write the results into lanes [64, ..).
+            # LANE-MAJOR row-chunk sweep per own column (round 4): the
+            # user transform runs on (1, EPR) ROWS — center fields are
+            # read straight off the span slab (fields on sublanes,
+            # particles on lanes: the lanes layout IS row-major) with one
+            # 128-aligned slice + roll, and the pair sums are transposed
+            # once per chunk.  The previous (EPR, 1) column layout ran
+            # every user op at 1/128 lane utilization (~5.7 ms/traversal
+            # at dragon scale, j42/j78 fused-minus-unfused delta); here
+            # the per-op cost is 2 vregs instead of 32.
             # The exact-tail chunk (q clamped to L - EPR) re-reads only
             # untransformed sum lanes, so re-applying it is idempotent.
             # Rows past L compute garbage that the writeback never ships.
@@ -814,19 +824,31 @@ class BlockEngine:
                     q = jnp.maximum(jnp.minimum(k * EPR, L - EPR), 0)
                     off_o = c * HALF_OUT + q
                     srow = out_scr[pl.ds(off_o, EPR), :]
-                    cen = ctr_scr[pl.ds(c * HALF_CTR + delta_c[c] + q,
-                                        EPR), :]
-                    fi = {nm: cen[:, v:v + 1]
+                    lq = delta_c[c] + q
+                    la2 = pl.multiple_of((lq // 128) * 128, 128)
+                    base = jnp.minimum(la_c[c] + la2,
+                                       jnp.int32(SPAN - EPR - 128))
+                    base = pl.multiple_of(base, 128)
+                    slab = win_scr[buf, c + 1, :, pl.ds(base, EPR + 128)]
+                    slab = pltpu.roll(slab, EPR + 128 - (lq - la2), axis=1)
+                    fi = {nm: slab[v:v + 1, :EPR]
                           for nm, v in name_to_idx.items()}
+                    sumsT = jnp.transpose(srow)        # (128, EPR)
                     sums = {}
                     pos = 0
                     for o, ncomp in out_cols:
-                        sums[o] = srow[:, pos:pos + ncomp]
+                        sums[o] = tuple(sumsT[pos + i:pos + i + 1, :]
+                                        for i in range(ncomp))
                         pos += ncomp
                     res = epi_fn(fi, sums, sc_vals)
-                    packed = jnp.concatenate(
-                        [res[o] for o, _ in epi_cols], axis=1)
-                    pw = packed.shape[1]
+                    rows = []
+                    for o, _nc in epi_cols:
+                        comps = res[o] if isinstance(res[o], tuple) \
+                            else (res[o],)
+                        rows.extend(comps)
+                    packedT = jnp.concatenate(rows, axis=0)   # (pw, EPR)
+                    pw = packedT.shape[0]
+                    packed = jnp.transpose(packedT)
                     out_scr[pl.ds(off_o, EPR), :] = jnp.concatenate(
                         [srow[:, :64], packed,
                          jnp.zeros((EPR, 64 - pw), jnp.float32)], axis=1)

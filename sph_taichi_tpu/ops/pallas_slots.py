@@ -267,9 +267,30 @@ class SlotEngine:
 
         sc_arr = jnp.zeros((1, 16), jnp.float32)
         epi_fn, epi_cols = None, None
+        # round 4: the epilogue USER contract went row-major ((1, R)
+        # rows, ncomp-tuples — see pallas_blocks.traverse).  This
+        # engine's internal machinery stays column-major; adapt at the
+        # boundary (perf-irrelevant: opt-in measured-negative engine).
         if epilogue is not None:
-            epi_fn, epi_specs, scalars = epilogue
+            user_epi, epi_specs, scalars = epilogue
             epi_cols = [(o, int(epi_specs[o])) for o in sorted(epi_specs)]
+            out_nc = {o: (3 if out_specs[o] in ("vec", "radial") else 1)
+                      for o in out_specs}
+
+            def epi_fn(fi, sums, sc, _u=user_epi, _nc=out_nc,
+                       _ec=tuple(epi_cols)):
+                fiT = {k: jnp.transpose(v) for k, v in fi.items()}
+                sumsT = {o: tuple(jnp.transpose(s_[:, i:i + 1])
+                                  for i in range(_nc[o]))
+                         for o, s_ in sums.items()}
+                res = _u(fiT, sumsT, sc)
+                cols = {}
+                for o, _n in _ec:
+                    comps = res[o] if isinstance(res[o], tuple) \
+                        else (res[o],)
+                    cols[o] = jnp.concatenate(
+                        [jnp.transpose(cmp_) for cmp_ in comps], axis=1)
+                return cols
             assert sum(nc for _, nc in out_cols) <= 64
             assert sum(nc for _, nc in epi_cols) <= 64
             scalars = jnp.asarray(scalars, jnp.float32).reshape(-1)

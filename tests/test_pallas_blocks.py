@@ -170,9 +170,9 @@ def test_block_epilogue_transform(rng):
 
     def epi(fi, sums, sc):
         # arbitrary mix of fields, sums, and a traced scalar
-        den = sums["den"]
-        return {"y": jnp.concatenate(
-            [den * sc[0] + fi["m_V"], den - fi["x1"], den], axis=1)}
+        # (row-major contract: (1, R) rows, ncomp-tuples)
+        den = sums["den"][0]
+        return {"y": (den * sc[0] + fi["m_V"], den - fi["x1"], den)}
 
     plain = eng.traverse(ctx, ps.x, {"m_V": ps.m_V}, term,
                          {"den": "scalar"}, mode="mxu")
