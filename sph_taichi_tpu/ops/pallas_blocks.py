@@ -69,7 +69,16 @@ ABLATE = ""
 
 
 class BlockCtx(NamedTuple):
-    win_tab: jnp.ndarray    # i32[n_groups, 16, 2*nbz] window bounds
+    len_tab: jnp.ndarray    # i32[n_groups, 16, nbz] window lengths: the
+    #                         validity mask is a lane-iota < cnt compare
+    #                         (the rolled slab's lanes [0, cnt) ARE the
+    #                         window), replacing per-window f32 gidx
+    #                         bound compares — scalar-pipe strength
+    #                         reduction, the measured binding resource
+    loc_tab: jnp.ndarray    # i32[n_groups, 16, nbz] window start lane
+    #                         RELATIVE to its span slab's 128-aligned
+    #                         base, pre-clipped to [0, SPAN-SL] (kills
+    #                         the subtract+clip chain per window-sheet)
     span_tab: jnp.ndarray   # i32[n_groups, 8, 2] per-ix-col span [lo, hi);
     #                         rows 0-3 own group, rows 4-7 next group (for
     #                         the cross-group DMA prefetch)
@@ -123,8 +132,6 @@ class BlockEngine:
                                    "highest") or "highest"
         self.tile = getattr(params, "blocks_tile", "half") or "half"
         assert self.tile in ("half", "quarter"), self.tile
-        self.batch_unroll = int(
-            getattr(params, "blocks_batch_unroll", 0) or 1)
         self.h2 = params.support_radius * params.support_radius
 
     # ------------------------------------------------------------------
@@ -200,6 +207,8 @@ class BlockEngine:
 
         win_tab = jnp.stack(win_rows, axis=2).astype(jnp.int32) \
             .reshape(self.n_groups, 16, 2 * nbz)
+        len_tab = (win_tab[:, :, 1::2] - win_tab[:, :, 0::2]) \
+            .astype(jnp.int32)
 
         span_cols = []
         for d in range(4):
@@ -246,6 +255,18 @@ class BlockEngine:
         zrange = jnp.stack([b0, b1], axis=2).astype(jnp.int32) \
             .reshape(self.n_groups, 1, 2)
 
+        # per-(window, batch) span-relative start lanes (scalar-pipe
+        # strength reduction: the in-kernel assembly loop was measured
+        # scalar-address bound — ~21 ms/step dragon, round 4 nomath/
+        # noasm ablations — so every op movable to prepare() moves here)
+        base_k = jnp.stack(
+            [(jnp.where(span_any[k % 4], span_lo[k % 4], 0) // 128) * 128
+             for k in range(16)], axis=2)           # (nbx, nby, 16)
+        wlo_4d = jnp.stack(win_rows, axis=2)[..., 0::2]  # (nbx,nby,16,nbz)
+        loc_tab = jnp.clip(
+            wlo_4d - base_k[..., None], 0, self.span - self.sl) \
+            .astype(jnp.int32).reshape(self.n_groups, 16, nbz)
+
         # diagnostics
         span_len = span_tab[:, :, 1] - span_tab[:, :, 0]
         win_len = win_tab[:, :, 1::2] - win_tab[:, :, 0::2]
@@ -282,7 +303,8 @@ class BlockEngine:
 
         span2 = jnp.concatenate([span_tab, _nxt(span_tab)], axis=1)
         col2 = jnp.concatenate([col_tab, _nxt(col_tab)], axis=1)
-        return BlockCtx(win_tab=win_tab, span_tab=span2, ctr_tab=ctr_tab,
+        return BlockCtx(len_tab=len_tab, loc_tab=loc_tab,
+                        span_tab=span2, ctr_tab=ctr_tab,
                         col_tab=col2, zrange=zrange, mxt_tab=mxt_tab,
                         diag=diag)
 
@@ -389,7 +411,9 @@ class BlockEngine:
             out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
             grid=(self.n_groups,),
             in_specs=[
-                pl.BlockSpec((1, 16, 2 * nbz), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 16, nbz), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 16, nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 8, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -417,8 +441,8 @@ class BlockEngine:
             ],
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(ctx.win_tab, ctx.span_tab, ctx.ctr_tab, ctx.col_tab, ctx.zrange,
-          ctx.mxt_tab, sc_arr, lanes)
+        )(ctx.len_tab, ctx.loc_tab, ctx.span_tab, ctx.ctr_tab,
+          ctx.col_tab, ctx.zrange, ctx.mxt_tab, sc_arr, lanes)
 
         # with an epilogue the returned values live in lanes [64, 64+W)
         # (pair sums stay in [0, 64) so the in-place transform is
@@ -434,10 +458,11 @@ class BlockEngine:
         return outs
 
     # ------------------------------------------------------------------
-    def _kernel(self, win_ref, span_ref, ctr_ref, col_ref, zr_ref, mxt_ref,
-                sc_ref, lanes_hbm, out_hbm, win_scr, cand_scr, ctr_scr,
-                out_scr, sems, *, term_fn, name_to_idx, out_cols, f_pad,
-                mxu=False, pair_dots=(), epi_fn=None, epi_cols=None):
+    def _kernel(self, len_ref, loc_ref, span_ref, ctr_ref, col_ref,
+                zr_ref, mxt_ref, sc_ref, lanes_hbm, out_hbm, win_scr,
+                cand_scr, ctr_scr, out_scr, sems, *, term_fn, name_to_idx,
+                out_cols, f_pad, mxu=False, pair_dots=(), epi_fn=None,
+                epi_cols=None):
         Z, nbz, WC, SL, SPAN, h2 = self.z, self.nbz, self.wc, self.sl, \
             self.span, self.h2
         HALF_CTR = self.half + 128
@@ -543,27 +568,26 @@ class BlockEngine:
             def sheet_loop(t, mx, mxc, ctr_off, ctr_cnt):
                 def sheet_body(sh, _):
                     # ---- assemble candidate tile (f_pad+1, 16*WC) ----
+                    # scalar-pipe minimal: start lanes are table-stored
+                    # span-relative + pre-clipped (loc_tab), mask bounds
+                    # table-stored as f32 (winf_tab); per window-sheet
+                    # only the sheet shift, alignment AND, and roll
+                    # amount remain on the scalar unit
+                    sho = sh * WC
+                    li = jax.lax.broadcasted_iota(jnp.int32, (1, WC), 1)
                     for k in (() if ABLATE == "noasm" else range(16)):
                         cspan = k % 4      # window order is iy-major
-                        wlo = win_ref[0, k, 2 * t]
-                        whi = win_ref[0, k, 2 * t + 1]
-                        ws_lo = wlo + sh * WC
-                        ws_hi = jnp.minimum(ws_lo + WC, whi)
-                        loc = ws_lo - bases[cspan]
-                        loc = jnp.clip(loc, 0, jnp.int32(SPAN - SL))
-                        la = jnp.minimum((loc // 128) * 128,
-                                         jnp.int32(SPAN - SL))
-                        la = pl.multiple_of(la, 128)
+                        loc = jnp.minimum(loc_ref[0, k, t] + sho,
+                                          jnp.int32(SPAN - SL))
+                        la = pl.multiple_of((loc // 128) * 128, 128)
                         slab = win_scr[buf, cspan, :, pl.ds(la, SL)]
                         if ABLATE != "norolls":
                             slab = pltpu.roll(slab, SL - (loc - la), axis=1)
                         seg = slab[:, :WC]
                         cand_scr[0:f_pad, k * WC:(k + 1) * WC] = seg
-                        gi = seg[3:4, :]
-                        okm = ((gi >= ws_lo.astype(jnp.float32))
-                               & (gi < ws_hi.astype(jnp.float32)))
+                        cnt = len_ref[0, k, t] - sho
                         cand_scr[f_pad:f_pad + 1, k * WC:(k + 1) * WC] = \
-                            okm.astype(jnp.float32)
+                            (li < cnt).astype(jnp.float32)
 
                     cand = cand_scr[...]
 
@@ -800,8 +824,7 @@ class BlockEngine:
                 jax.lax.fori_loop(0, pl.cdiv(mx, WC), sheet_body, 0)
 
             if ABLATE not in ("noloop", "dmaonly"):
-                jax.lax.fori_loop(b0, b1, batch_body, 0,
-                                  unroll=self.batch_unroll)
+                jax.lax.fori_loop(b0, b1, batch_body, 0)
 
             # ---- in-kernel epilogue on finished per-center sums ----
             # LANE-MAJOR row-chunk sweep per own column (round 4): the

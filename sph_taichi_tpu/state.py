@@ -154,8 +154,6 @@ class SimParams:
     #                               each own row drops its dead ci column
     #                               — 25% less padded pair math for 3
     #                               static slices + a concat per quarter)
-    blocks_batch_unroll: int = 1  # z-batch loop unroll factor (issue-
-    #                               overhead experiment; trace-time only)
     # v4 slot-dense engine (ops/pallas_slots.py) knobs
     slot_layers: int = 4          # dense layers (capacity = 8*layers/cell;
     #                               4 matches the default cell_cap of 32 —
