@@ -184,7 +184,7 @@ class IISPHSolver(SPHBase):
 
     # ------------------------------------------------------------------
     def _pressure_accel(self, p: Particles, ctx, pressure,
-                        advect_dt=None):
+                        advect_dt=None, lanes=None):
         """Symmetric pressure acceleration from a pressure field
         (IISPH.py:114-144 / :202-233).
 
@@ -210,6 +210,10 @@ class IISPHSolver(SPHBase):
 
         fields = {"material": p.material, "m_V": p.m_V,
                   "density": p.density, "pr": pressure}
+        if lanes is not None:
+            assert tuple(sorted(fields)) == lanes.names, \
+                (sorted(fields), lanes.names)
+            fields = lanes
 
         if advect_dt is not None:
             for k in range(3):
@@ -240,7 +244,8 @@ class IISPHSolver(SPHBase):
             term, {"ap": "radial"}, mode="mxu")
         return jnp.stack(out["ap"], axis=1)
 
-    def _apply_A(self, p: Particles, ctx, accel, update=None):
+    def _apply_A(self, p: Particles, ctx, accel, update=None,
+                 lanes=None):
         """Ap_i = dt^2 rho0 sum_j m_V_j (a_i - a_j).gradW_ij
         (IISPH.py:146-163) — dt^2 applied by the caller.
 
@@ -259,7 +264,6 @@ class IISPHSolver(SPHBase):
 
         fields = {"material": p.material, "m_V": p.m_V,
                   "a0": accel[:, 0], "a1": accel[:, 1], "a2": accel[:, 2]}
-
         if update is not None:
             a_ii, source, last_p, dt2, rho0 = update
             rho0f = float(rho0)
@@ -282,6 +286,10 @@ class IISPHSolver(SPHBase):
                                 jnp.abs(ap - fi["source"]) / rho0f, 0.0)
                 return {"new_p": new_p, "err": err}
 
+            if lanes is not None:
+                assert tuple(sorted(fields)) == lanes.names, \
+                    (sorted(fields), lanes.names)
+                fields = lanes
             out = self.engine.traverse(
                 ectx(ctx), p.x, fields, term, {"ap": "scalar"},
                 mode="mxu", pair_dots=("a",),
@@ -308,13 +316,36 @@ class IISPHSolver(SPHBase):
         owned = real & (p.is_dynamic >= 0)
         fused = self._fused(ctx)
 
+        buf_pa = buf_aa = None
+        if fused and getattr(self.engine, "supports_lanes", False) \
+                and not (hasattr(ctx, "ghost_sync")
+                         and ctx.ghost_sync is not None):
+            # prebuilt lanes reused across Jacobi iterations (see
+            # pallas_blocks.make_lanes): only pr / accel / last_p rows
+            # change per iteration
+            buf_pa = self.engine.make_lanes(
+                p.x, {"material": p.material, "m_V": p.m_V,
+                      "density": p.density,
+                      "pr": jnp.zeros_like(p.pressure)})
+            zc = jnp.zeros_like(p.pressure)
+            buf_aa = self.engine.make_lanes(
+                p.x, {"material": p.material, "m_V": p.m_V,
+                      "a0": zc, "a1": zc, "a2": zc,
+                      "a_ii": a_ii, "source": source, "last_p": zc})
+
         def body(carry):
             last_p, _, it = carry
-            accel = self._pressure_accel(p, ctx, last_p)
+            lpa = None if buf_pa is None else self.engine.update_lanes(
+                buf_pa, {"pr": last_p})
+            accel = self._pressure_accel(p, ctx, last_p, lanes=lpa)
             if fused:
+                laa = None if buf_aa is None else self.engine.update_lanes(
+                    buf_aa, {"a0": accel[:, 0], "a1": accel[:, 1],
+                             "a2": accel[:, 2], "last_p": last_p})
                 new_p, err_t = self._apply_A(
                     p, ctx, accel,
-                    update=(a_ii, source, last_p, dt2, rho0))
+                    update=(a_ii, source, last_p, dt2, rho0),
+                    lanes=laa)
                 err = jnp.sum(err_t) / params.n_particles
                 return new_p, err, it + 1
             ap = self._apply_A(p, ctx, accel) * dt2 * rho0
