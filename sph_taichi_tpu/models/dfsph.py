@@ -261,7 +261,11 @@ class DFSPHSolver(SPHBase):
     # Device A/B (j85, evolved dragon_bath_dfsph, real v5e): fused
     # 432.8 ms/step vs unfused 425.6 — the doubled assembly volume
     # slightly outweighs the saved per-iteration XLA stage, so the
-    # default is UNFUSED.  (All other DFSPH epilogue fusions — density+
+    # default is UNFUSED.  Caveat (ADVICE r3): that 1.7% delta is a
+    # single run each, within plausible run-to-run noise (j100-class
+    # repeats vary ~1-3 ms/step); treat the default as provisional
+    # until a repeated A/B settles it — both sides are correct and
+    # interpret-tested, so the risk is perf-only.  (All other DFSPH epilogue fusions — density+
     # alpha, clamps, non-pressure+predict — have no f_pad cost and stay.)
     fuse_solver_dv = False
 

@@ -69,22 +69,23 @@ ABLATE = ""
 
 
 class BlockCtx(NamedTuple):
-    len_tab: jnp.ndarray    # i32[n_groups, 16, nbz] window lengths: the
+    len_tab: jnp.ndarray    # i32[n_groups, NW, nbz] window lengths: the
     #                         validity mask is a lane-iota < cnt compare
     #                         (the rolled slab's lanes [0, cnt) ARE the
     #                         window), replacing per-window f32 gidx
     #                         bound compares — scalar-pipe strength
     #                         reduction, the measured binding resource
-    loc_tab: jnp.ndarray    # i32[n_groups, 16, nbz] window start lane
+    loc_tab: jnp.ndarray    # i32[n_groups, NW, nbz] window start lane
     #                         RELATIVE to its span slab's 128-aligned
     #                         base, pre-clipped to [0, SPAN-SL] (kills
     #                         the subtract+clip chain per window-sheet)
-    span_tab: jnp.ndarray   # i32[n_groups, 8, 2] per-ix-col span [lo, hi);
-    #                         rows 0-3 own group, rows 4-7 next group (for
-    #                         the cross-group DMA prefetch)
-    ctr_tab: jnp.ndarray    # i32[n_groups, 4, nbz+1] center-row batch starts
-    col_tab: jnp.ndarray    # i32[n_groups, 4, 2] own column-pair [lo, hi)
-    #                         (rows 0-1) + next group's pair (rows 2-3)
+    span_tab: jnp.ndarray   # i32[n_groups, 2(B+2), 2] per-ix-col span
+    #                         [lo, hi); first B+2 rows own group, rest the
+    #                         next group (for the cross-group DMA prefetch)
+    ctr_tab: jnp.ndarray    # i32[n_groups, B*B, nbz+1] center-row batch
+    #                         starts
+    col_tab: jnp.ndarray    # i32[n_groups, 2B, 2] own column [lo, hi)
+    #                         (rows 0..B-1) + next group's (rows B..2B-1)
     zrange: jnp.ndarray     # i32[n_groups, 1, 2] batch range [b0, b1)
     mxt_tab: jnp.ndarray    # i32[n_groups, 2, nbz] per-batch max window len
     #                         (row 0, clamped >=1) / max center count (row 1,
@@ -117,8 +118,19 @@ class BlockEngine:
         self.interpret = interpret
         nx, ny, nz = params.grid_num
         self.nx, self.ny, self.nz = nx, ny, nz
-        self.nbx = -(-nx // 2)
-        self.nby = -(-ny // 2)
+        # B x B grid rows per instance (round 4: parametric block size).
+        # Bigger blocks amortize the per-instance fixed cost (DMA chains,
+        # transposes, epilogue) over more particles and cut the window
+        # count per particle: at B the neighborhood union is (B+2)^2
+        # windows for B^2 own cells = ((B+2)/B)^2 windows/cell.  Evolved
+        # dragon: B=2 -> 2394 instances, 172K window assemblies; B=4 ->
+        # 608 / 109K.  The trade is vector-math padding: each center's
+        # candidate tile is 3*(B+2)*WC lanes (grows linearly in B).
+        self.b = int(getattr(params, "blocks_rows", 0) or 2)
+        B = self.b
+        self.nw = (B + 2) * (B + 2)
+        self.nbx = -(-nx // B)
+        self.nby = -(-ny // B)
         self.n_groups = self.nbx * self.nby
         self.z = int(getattr(params, "blocks_z_batch", 0) or 2)
         self.nbz = -(-nz // self.z)
@@ -136,9 +148,10 @@ class BlockEngine:
 
     # ------------------------------------------------------------------
     def prepare(self, x, cell_starts):
-        """Window/span/center tables for 2x2 blocks — structured XLA only."""
+        """Window/span/center tables for BxB blocks — structured XLA only."""
         nx, ny, nz = self.nx, self.ny, self.nz
         nbx, nby, z, nbz = self.nbx, self.nby, self.z, self.nbz
+        B = self.b
         c = nx * ny * nz
         big = jnp.int32(2 ** 30)
 
@@ -146,10 +159,10 @@ class BlockEngine:
         row_end = cell_starts[nz:c + 1:nz].reshape(nx, ny)
         s_full = jnp.concatenate([s, row_end[..., None]], axis=2)
 
-        # pad the row grid so (2a+ci, 2b+ri) for ci,ri in [-1, 2] is a
+        # pad the row grid so (Ba+ci, Bb+ri) for ci,ri in [-1, B] is a
         # plain strided slice; padded rows are empty sentinels
-        px = 2 * nbx - nx + 2    # left pad 1, right pad to even + 1
-        py = 2 * nby - ny + 2
+        px = B * nbx - nx + 2    # left pad 1, right pad to multiple + 1
+        py = B * nby - ny + 2
         sp = jnp.pad(s_full, ((1, px), (1, py), (0, 0)))
         valid = jnp.pad(jnp.ones((nx, ny), bool), ((1, px), (1, py)))
 
@@ -157,10 +170,10 @@ class BlockEngine:
         hi_cols = [min(t * z + z + 1, nz) for t in range(nbz)]
         ctr_cols = [min(t * z, nz) for t in range(nbz + 1)]
 
-        win_rows = []          # per window k=(ci*4+ri): (nbx, nby, 2*nbz)
-        span_lo = [None] * 4
-        span_hi = [None] * 4
-        span_any = [None] * 4
+        win_rows = []          # per window k: (nbx, nby, 2*nbz)
+        span_lo = [None] * (B + 2)
+        span_hi = [None] * (B + 2)
+        span_any = [None] * (B + 2)
         zlo_all, zhi_all = None, None
         # per-row occupied z range (for batch-loop bounds)
         cnts = sp[:, :, 1:] - sp[:, :, :-1]          # (nx+.., ny+.., nz)
@@ -169,16 +182,17 @@ class BlockEngine:
         row_zlo = jnp.min(jnp.where(occ, zidx, nz), axis=2)
         row_zhi = jnp.max(jnp.where(occ, zidx, -1), axis=2)
 
-        # window order k = (ri+1)*4 + (ci+1): iy-major, so the 12 windows
-        # relevant to own iy-row j (ri in {j-1, j, j+1}, every ci) are one
-        # contiguous 12*WC-lane slice of the candidate tile.  The 4th ci
-        # in each ri-group is geometrically dead for half the centers and
-        # is excluded by the d2 < h^2 mask (cell size == support radius,
-        # state.py grid_size, so a 2-column gap implies d >= h).
-        for ri in (-1, 0, 1, 2):
-            for ci in (-1, 0, 1, 2):
-                w = sp[1 + ci::2, 1 + ri::2][:nbx, :nby]     # (nbx,nby,nz+1)
-                ok = valid[1 + ci::2, 1 + ri::2][:nbx, :nby]
+        # window order k = (ri+1)*(B+2) + (ci+1): iy-major, so the
+        # 3*(B+2) windows relevant to own iy-row j (ri in {j-1, j, j+1},
+        # every ci) are one contiguous slice of the candidate tile.  The
+        # out-of-range ci in each ri-group are geometrically dead for
+        # part of the centers and are excluded by the d2 < h^2 mask
+        # (cell size == support radius, state.py grid_size, so a
+        # 2-column gap implies d >= h).
+        for ri in range(-1, B + 1):
+            for ci in range(-1, B + 1):
+                w = sp[1 + ci::B, 1 + ri::B][:nbx, :nby]     # (nbx,nby,nz+1)
+                ok = valid[1 + ci::B, 1 + ri::B][:nbx, :nby]
                 wlo = jnp.where(ok[..., None], w[:, :, lo_cols], 0)
                 whi = jnp.where(ok[..., None], w[:, :, hi_cols], 0)
                 win_rows.append(jnp.stack([wlo, whi], axis=3)
@@ -192,60 +206,63 @@ class BlockEngine:
                     else jnp.maximum(span_hi[d], hi_k)
                 span_any[d] = ok if span_any[d] is None \
                     else (span_any[d] | ok)
-                if ci in (0, 1) and ri in (0, 1):
+                if 0 <= ci < B and 0 <= ri < B:
                     # batch-loop bounds from OWN rows only: batches where
                     # only neighbors are occupied hold no centers and are
                     # skipped anyway (mxt row 1)
                     zl = jnp.where(
-                        ok, row_zlo[1 + ci::2, 1 + ri::2][:nbx, :nby], nz)
+                        ok, row_zlo[1 + ci::B, 1 + ri::B][:nbx, :nby], nz)
                     zh = jnp.where(
-                        ok, row_zhi[1 + ci::2, 1 + ri::2][:nbx, :nby], -1)
+                        ok, row_zhi[1 + ci::B, 1 + ri::B][:nbx, :nby], -1)
                     zlo_all = zl if zlo_all is None \
                         else jnp.minimum(zlo_all, zl)
                     zhi_all = zh if zhi_all is None \
                         else jnp.maximum(zhi_all, zh)
 
         win_tab = jnp.stack(win_rows, axis=2).astype(jnp.int32) \
-            .reshape(self.n_groups, 16, 2 * nbz)
+            .reshape(self.n_groups, self.nw, 2 * nbz)
         len_tab = (win_tab[:, :, 1::2] - win_tab[:, :, 0::2]) \
             .astype(jnp.int32)
 
         span_cols = []
-        for d in range(4):
+        for d in range(B + 2):
             glo = jnp.where(span_any[d], span_lo[d], 0)
             ghi = jnp.where(span_any[d], span_hi[d], 0)
             span_cols.append(jnp.stack([glo, ghi], axis=2))
         span_tab = jnp.stack(span_cols, axis=2).astype(jnp.int32) \
-            .reshape(self.n_groups, 4, 2)
+            .reshape(self.n_groups, B + 2, 2)
 
-        # center rows (own 2x2): iy-major order (c=0,j=0),(1,0),(0,1),(1,1)
-        # — row r has ix column c = r % 2, iy row j = r // 2, matching the
-        # half-tile split in the kernel (centers with iy=j pair against
-        # the contiguous ri in {j-1, j, j+1} window slice)
+        # center rows (own BxB): iy-major order — row r has ix column
+        # c = r % B, iy row j = r // B, matching the half-tile split in
+        # the kernel (centers with iy=j pair against the contiguous
+        # ri in {j-1, j, j+1} window slice)
         ctr_rows = []
         col_rows = []
-        for ri2 in (0, 1):
-            for ci2 in (0, 1):
-                w = sp[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
-                ok = valid[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
+        for ri2 in range(B):
+            for ci2 in range(B):
+                w = sp[1 + ci2::B, 1 + ri2::B][:nbx, :nby]
+                ok = valid[1 + ci2::B, 1 + ri2::B][:nbx, :nby]
                 ct = jnp.where(ok[..., None], w[:, :, ctr_cols], 0)
                 ctr_rows.append(ct)
-        for ci2 in (0, 1):
-            pair = []
-            for ri2 in (0, 1):
-                w = sp[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
-                ok = valid[1 + ci2::2, 1 + ri2::2][:nbx, :nby]
-                pair.append((jnp.where(ok, w[:, :, 0], 0),
-                             jnp.where(ok, w[:, :, nz], 0)))
-            # column range [lo, hi): iy0 row start .. iy0+1 row end (the
-            # two rows are rid-adjacent; if iy0+1 is invalid, hi = row0 end)
-            lo = pair[0][0]
-            hi = jnp.maximum(pair[0][1], pair[1][1])
+        for ci2 in range(B):
+            rows_se = []
+            for ri2 in range(B):
+                w = sp[1 + ci2::B, 1 + ri2::B][:nbx, :nby]
+                ok = valid[1 + ci2::B, 1 + ri2::B][:nbx, :nby]
+                rows_se.append((jnp.where(ok, w[:, :, 0], 0),
+                                jnp.where(ok, w[:, :, nz], 0)))
+            # column range [lo, hi): iy0 row start .. iy0+B-1 row end
+            # (the B rows are rid-adjacent; only TRAILING rows can be
+            # invalid, so lo = row0 start and hi = max of valid ends)
+            lo = rows_se[0][0]
+            hi = rows_se[0][1]
+            for ri2 in range(1, B):
+                hi = jnp.maximum(hi, rows_se[ri2][1])
             col_rows.append(jnp.stack([lo, hi], axis=2))
         ctr_tab = jnp.stack(ctr_rows, axis=2).astype(jnp.int32) \
-            .reshape(self.n_groups, 4, nbz + 1)
+            .reshape(self.n_groups, B * B, nbz + 1)
         col_tab = jnp.stack(col_rows, axis=2).astype(jnp.int32) \
-            .reshape(self.n_groups, 2, 2)
+            .reshape(self.n_groups, B, 2)
 
         b0 = jnp.minimum(zlo_all // z, nbz).astype(jnp.int32)
         b1 = jnp.minimum((zhi_all // z) + 1, nbz).astype(jnp.int32)
@@ -260,12 +277,13 @@ class BlockEngine:
         # scalar-address bound — ~21 ms/step dragon, round 4 nomath/
         # noasm ablations — so every op movable to prepare() moves here)
         base_k = jnp.stack(
-            [(jnp.where(span_any[k % 4], span_lo[k % 4], 0) // 128) * 128
-             for k in range(16)], axis=2)           # (nbx, nby, 16)
-        wlo_4d = jnp.stack(win_rows, axis=2)[..., 0::2]  # (nbx,nby,16,nbz)
+            [(jnp.where(span_any[k % (B + 2)], span_lo[k % (B + 2)], 0)
+              // 128) * 128
+             for k in range(self.nw)], axis=2)      # (nbx, nby, NW)
+        wlo_4d = jnp.stack(win_rows, axis=2)[..., 0::2]  # (nbx,nby,NW,nbz)
         loc_tab = jnp.clip(
             wlo_4d - base_k[..., None], 0, self.span - self.sl) \
-            .astype(jnp.int32).reshape(self.n_groups, 16, nbz)
+            .astype(jnp.int32).reshape(self.n_groups, self.nw, nbz)
 
         # diagnostics
         span_len = span_tab[:, :, 1] - span_tab[:, :, 0]
@@ -406,20 +424,21 @@ class BlockEngine:
             pair_dots=tuple(pair_dots), epi_fn=epi_fn, epi_cols=epi_cols)
 
         nbz = self.nbz
+        B, NW = self.b, self.nw
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
             grid=(self.n_groups,),
             in_specs=[
-                pl.BlockSpec((1, 16, nbz), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, NW, nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 16, nbz), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, NW, nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 8, 2), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 2 * (B + 2), 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 4, nbz + 1), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, B * B, nbz + 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 4, 2), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 2 * B, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -431,13 +450,14 @@ class BlockEngine:
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, 4, f_pad, self.span),
+                pltpu.VMEM((2, B + 2, f_pad, self.span),
                            jnp.float32),   # col spans, double-buffered
-                pltpu.VMEM((f_pad + 1, 16 * self.wc), jnp.float32),  # cand
-                pltpu.VMEM((2 * (self.half + 128), f_pad),
+                pltpu.VMEM((f_pad + 1, NW * self.wc), jnp.float32),  # cand
+                pltpu.VMEM((B * (self.half + 128), f_pad),
                            jnp.float32),                          # centers
-                pltpu.VMEM((2 * (self.half + 64), 128), jnp.float32),  # out
-                pltpu.SemaphoreType.DMA((6,)),  # 4 spans + 2 writeback cols
+                pltpu.VMEM((B * (self.half + 64), 128), jnp.float32),  # out
+                pltpu.SemaphoreType.DMA((2 * B + 2,)),
+                # B+2 span cols + B writeback cols
             ],
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -465,15 +485,16 @@ class BlockEngine:
                 epi_cols=None):
         Z, nbz, WC, SL, SPAN, h2 = self.z, self.nbz, self.wc, self.sl, \
             self.span, self.h2
+        B, NW = self.b, self.nw
         HALF_CTR = self.half + 128
         HALF_OUT = self.half + 64
 
-        col_lo = [col_ref[0, c, 0] for c in (0, 1)]
-        col_hi = [col_ref[0, c, 1] for c in (0, 1)]
-        col_len = [col_hi[c] - col_lo[c] for c in (0, 1)]
-        grp_len = col_len[0] + col_len[1]
-        nxt_len = (col_ref[0, 2, 1] - col_ref[0, 2, 0]) \
-            + (col_ref[0, 3, 1] - col_ref[0, 3, 0])
+        col_lo = [col_ref[0, c, 0] for c in range(B)]
+        col_hi = [col_ref[0, c, 1] for c in range(B)]
+        col_len = [col_hi[c] - col_lo[c] for c in range(B)]
+        grp_len = sum(col_len[1:], col_len[0])
+        nxt_len = sum((col_ref[0, B + c, 1] - col_ref[0, B + c, 0])
+                      for c in range(B))
 
         i_g = pl.program_id(0)
         buf = jax.lax.rem(i_g, jnp.int32(2))
@@ -483,8 +504,8 @@ class BlockEngine:
             lo = span_ref[0, row, 0]
             return pl.multiple_of((lo // 128) * 128, 128)
 
-        bases = [span_base(c) for c in range(4)]
-        nbases = [span_base(4 + c) for c in range(4)]
+        bases = [span_base(c) for c in range(B + 2)]
+        nbases = [span_base(B + 2 + c) for c in range(B + 2)]
 
         def span_copy(b, base, c):
             return pltpu.make_async_copy(
@@ -498,17 +519,17 @@ class BlockEngine:
         # test grp_len(g) > 0 (from the doubled col table).
         @pl.when((i_g == 0) & (grp_len > 0))
         def _seed():
-            for c in (() if ABLATE == "nodma" else range(4)):
+            for c in (() if ABLATE == "nodma" else range(B + 2)):
                 span_copy(buf, bases[c], c).start()
 
         @pl.when(grp_len > 0)
         def _wait():
-            for c in (() if ABLATE == "nodma" else range(4)):
+            for c in (() if ABLATE == "nodma" else range(B + 2)):
                 span_copy(buf, bases[c], c).wait()
 
         @pl.when((nxt_len > 0) & (i_g + 1 < self.n_groups))
         def _prefetch():
-            for c in (() if ABLATE == "nodma" else range(4)):
+            for c in (() if ABLATE == "nodma" else range(B + 2)):
                 span_copy(nbuf, nbases[c], c).start()
 
         @pl.when(grp_len > 0)
@@ -516,7 +537,7 @@ class BlockEngine:
             # ---- transpose each own column's particles to sublanes ----
             delta_c = []
             la_c = []
-            for c in (0, 1):
+            for c in range(B):
                 loc_g = col_lo[c] - bases[c + 1]
                 la_g = jnp.minimum((loc_g // 128) * 128,
                                    jnp.int32(SPAN - 256))
@@ -529,7 +550,7 @@ class BlockEngine:
                     off = jnp.minimum(la_g + sb * 256, jnp.int32(SPAN - 256))
                     off = pl.multiple_of(off, 128)
                     dst = jnp.minimum(c * HALF_CTR + sb * 256,
-                                      jnp.int32(2 * HALF_CTR - 256))
+                                      jnp.int32(B * HALF_CTR - 256))
                     ctr_scr[pl.ds(dst, 256), :] = jnp.transpose(
                         win_scr[buf, c + 1, :, pl.ds(off, 256)])
                     return 0
@@ -556,7 +577,7 @@ class BlockEngine:
                 def _batch():
                     ctr_off = []
                     ctr_cnt = []
-                    for r in range(4):
+                    for r in range(B * B):
                         cs = ctr_ref[0, r, t]
                         ce = ctr_ref[0, r, t + 1]
                         ctr_off.append(cs)
@@ -575,8 +596,8 @@ class BlockEngine:
                     # amount remain on the scalar unit
                     sho = sh * WC
                     li = jax.lax.broadcasted_iota(jnp.int32, (1, WC), 1)
-                    for k in (() if ABLATE == "noasm" else range(16)):
-                        cspan = k % 4      # window order is iy-major
+                    for k in (() if ABLATE == "noasm" else range(NW)):
+                        cspan = k % (B + 2)   # window order is iy-major
                         loc = jnp.minimum(loc_ref[0, k, t] + sho,
                                           jnp.int32(SPAN - SL))
                         la = pl.multiple_of((loc // 128) * 128, 128)
@@ -592,10 +613,10 @@ class BlockEngine:
                     cand = cand_scr[...]
 
                     def ctr_sheet(cs_i, _):
-                        # ---- assemble center tile (4*CSL, f_pad) ----
+                        # ---- assemble center tile (B*B*CSL, f_pad) ----
                         cen_rows = []
-                        for r in range(4):
-                            c = r % 2      # iy-major row order
+                        for r in range(B * B):
+                            c = r % B      # iy-major row order
                             off = (delta_c[c] + ctr_off[r] + cs_i * CSL
                                    - col_lo[c] + c * HALF_CTR)
                             off = jnp.clip(off, c * HALF_CTR,
@@ -614,7 +635,8 @@ class BlockEngine:
                                 jnp.where(li == 3, jnp.float32(-1.0), 0.0))
                             seg = jnp.where(iota < cnt, seg, inv)
                             cen_rows.append(seg)
-                        cen = jnp.concatenate(cen_rows, axis=0)  # (64,f_pad)
+                        cen = jnp.concatenate(cen_rows, axis=0)
+                        # (B*B*CSL, f_pad)
 
                         # tile pair math.  "half" (default): own iy-row j
                         # centers (cen rows 2j*CSL..) only see the 12
@@ -634,24 +656,25 @@ class BlockEngine:
                         # state.py grid_size).
                         tiles = []
                         if self.tile == "quarter":
-                            for r in range(4):
-                                c_q, j_q = r % 2, r // 2
+                            for r in range(B * B):
+                                c_q, j_q = r % B, r // B
                                 cq = jnp.concatenate(
-                                    [cand[:, ((j_q + g) * 4 + c_q) * WC:
-                                           ((j_q + g) * 4 + c_q) * WC
-                                           + 3 * WC] for g in range(3)],
+                                    [cand[:, ((j_q + g) * (B + 2) + c_q)
+                                          * WC:
+                                          ((j_q + g) * (B + 2) + c_q) * WC
+                                          + 3 * WC] for g in range(3)],
                                     axis=1)
                                 tiles.append(
                                     (cen[r * CSL:(r + 1) * CSL, :], cq,
                                      CSL))
                         else:
-                            for hj in (0, 1):
-                                lo_l = hj * 4 * WC
+                            for hj in range(B):
+                                lo_l = hj * (B + 2) * WC
                                 tiles.append(
-                                    (cen[hj * 2 * CSL:(hj + 1) * 2 * CSL,
+                                    (cen[hj * B * CSL:(hj + 1) * B * CSL,
                                          :],
-                                     cand[:, lo_l:lo_l + 12 * WC],
-                                     2 * CSL))
+                                     cand[:, lo_l:lo_l + 3 * (B + 2) * WC],
+                                     B * CSL))
                         half_res = []
                         for cen_h, cq_t, RH in tiles:
                             fi = {k_: cen_h[:, v:v + 1]
@@ -792,7 +815,8 @@ class BlockEngine:
                         pad = 128 - res.shape[1]
                         if pad:
                             res = jnp.concatenate(
-                                [res, jnp.zeros((4 * CSL, pad), jnp.float32)],
+                                [res, jnp.zeros((B * B * CSL, pad),
+                                                jnp.float32)],
                                 axis=1)
 
                         # per-row output copies, MASKED-exact: only rows
@@ -800,8 +824,8 @@ class BlockEngine:
                         # touched (a plain 16-row copy would overshoot a
                         # row's final batch into the *other* own row's
                         # already-written early rows)
-                        for r in range(4):
-                            c = r % 2      # iy-major row order
+                        for r in range(B * B):
+                            c = r % B      # iy-major row order
                             off = (ctr_off[r] + cs_i * CSL - col_lo[c]
                                    + c * HALF_OUT)
                             off = jnp.clip(off, c * HALF_OUT,
@@ -877,7 +901,7 @@ class BlockEngine:
                          jnp.zeros((EPR, 64 - pw), jnp.float32)], axis=1)
                     return 0
 
-                for c in (0, 1):
+                for c in range(B):
                     L = jnp.minimum(col_len[c], jnp.int32(self.half))
                     jax.lax.fori_loop(
                         0, pl.cdiv(jnp.maximum(L, 1), EPR),
@@ -896,10 +920,10 @@ class BlockEngine:
                 return pltpu.make_async_copy(
                     out_scr.at[pl.ds(c * HALF_OUT + src, size), :],
                     out_hbm.at[pl.ds(col_lo[c] + src, size), :],
-                    sems.at[4 + c])
+                    sems.at[B + 2 + c])
 
             def wb_phase(do):
-                for c in (0, 1):
+                for c in range(B):
                     L = jnp.minimum(col_len[c], jnp.int32(self.half))
 
                     def out_body(k, _, c=c):

@@ -221,10 +221,12 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
         cellc = np.clip(cellc, 0, np.asarray(gn, np.int32) - 1)
         rows = np.zeros((gn[0], gn[1]), np.int64)
         np.add.at(rows, (cellc[:, 0], cellc[:, 1]), 1)
-        pad4 = np.pad(rows, ((0, 0), (1, 2)))
-        w4 = sum(pad4[:, k:k + gn[1]] for k in range(4))
-        pad2 = np.pad(rows, ((0, 0), (0, 1)))
-        w2 = pad2[:, :-1] + pad2[:, 1:]
+        brows = int(config.get_tpu_cfg("blocksRows", params.blocks_rows))
+        # span = (B+2) iy-rows of one ix-column; own column = B rows
+        pad4 = np.pad(rows, ((0, 0), (1, brows + 2)))
+        w4 = sum(pad4[:, k:k + gn[1]] for k in range(brows + 2))
+        pad2 = np.pad(rows, ((0, 0), (0, brows)))
+        w2 = sum(pad2[:, k:k + gn[1]] for k in range(brows))
 
         def _round_up(v, q):
             return int(-(-int(v) // q) * q)
@@ -240,6 +242,7 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
         import dataclasses as _dc
         params = _dc.replace(
             params,
+            blocks_rows=brows,
             blocks_span_cap=int(config.get_tpu_cfg(
                 "blocksSpanCap", min(max(span_need, 1024), 6144))),
             blocks_col_cap=int(config.get_tpu_cfg(

@@ -42,6 +42,22 @@ def test_block_solver_equivalence_lattice(method):
     _assert_states_close(sg, sp, matched=True)
 
 
+@pytest.mark.parametrize("rows,tile", [(3, "half"), (4, "half"),
+                                       (4, "quarter")])
+def test_block_solver_equivalence_block_rows(rows, tile, rng):
+    """Parametric BxB blocks (round 4): bigger blocks amortize the
+    per-instance fixed cost and cut windows per particle; the pair set
+    must be invariant.  Clumped layout forces the overflow sheets."""
+    d = small_scene_dict(method=0)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    x = _clumped_positions(rng, params, particles)
+    sg = _run(0, "gather", 2, perturb=x)
+    sp = _run(0, "pallas_blocks_interpret", 2, perturb=x,
+              blocks_rows=rows, blocks_tile=tile)
+    _assert_states_close(sg, sp)
+
+
 @pytest.mark.parametrize("method", [0, 4])
 def test_block_solver_equivalence_clumped(method, rng):
     """One step on an adversarial clumped layout: multi-sheet windows and
