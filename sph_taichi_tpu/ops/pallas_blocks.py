@@ -75,6 +75,13 @@ class BlockCtx(NamedTuple):
     #                         window), replacing per-window f32 gidx
     #                         bound compares — scalar-pipe strength
     #                         reduction, the measured binding resource
+    cnt_plane: jnp.ndarray  # i32[n_groups, nbz, NW*WC] countdown rows:
+    #                         lane k*WC+l holds len_tab[g,k,t] - l, so
+    #                         the whole sheet's validity row is ONE
+    #                         vector compare (row > sh*WC) + one store
+    #                         instead of NW scalar-broadcast iota
+    #                         compares (window assembly measured
+    #                         issue-bound at ~27ns/window, j104)
     loc_tab: jnp.ndarray    # i32[n_groups, NW, nbz] window start lane
     #                         RELATIVE to its span slab's 128-aligned
     #                         base, pre-clipped to [0, SPAN-SL] (kills
@@ -321,7 +328,14 @@ class BlockEngine:
 
         span2 = jnp.concatenate([span_tab, _nxt(span_tab)], axis=1)
         col2 = jnp.concatenate([col_tab, _nxt(col_tab)], axis=1)
+
+        # countdown-mask plane (see BlockCtx.cnt_plane)
+        li = jnp.arange(self.wc, dtype=jnp.int32)
+        cnt_plane = (jnp.transpose(len_tab, (0, 2, 1))[:, :, :, None]
+                     - li).reshape(self.n_groups, nbz, self.nw * self.wc)
+
         return BlockCtx(len_tab=len_tab, loc_tab=loc_tab,
+                        cnt_plane=cnt_plane,
                         span_tab=span2, ctr_tab=ctr_tab,
                         col_tab=col2, zrange=zrange, mxt_tab=mxt_tab,
                         diag=diag)
@@ -446,6 +460,7 @@ class BlockEngine:
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 16), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),   # epilogue scalars
+                pl.BlockSpec(memory_space=pl.ANY),   # countdown plane (HBM)
                 pl.BlockSpec(memory_space=pl.ANY),   # lanes (HBM)
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -453,16 +468,19 @@ class BlockEngine:
                 pltpu.VMEM((2, B + 2, f_pad, self.span),
                            jnp.float32),   # col spans, double-buffered
                 pltpu.VMEM((f_pad + 1, NW * self.wc), jnp.float32),  # cand
+                pltpu.VMEM((2 * nbz, NW * self.wc), jnp.int32),
+                # countdown-mask rows, double-buffered like the spans
                 pltpu.VMEM((B * (self.half + 128), f_pad),
                            jnp.float32),                          # centers
                 pltpu.VMEM((B * (self.half + 64), 128), jnp.float32),  # out
-                pltpu.SemaphoreType.DMA((2 * B + 2,)),
-                # B+2 span cols + B writeback cols
+                pltpu.SemaphoreType.DMA((2 * B + 3,)),
+                # B+2 span cols + B writeback cols + countdown plane
             ],
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(ctx.len_tab, ctx.loc_tab, ctx.span_tab, ctx.ctr_tab,
-          ctx.col_tab, ctx.zrange, ctx.mxt_tab, sc_arr, lanes)
+          ctx.col_tab, ctx.zrange, ctx.mxt_tab, sc_arr, ctx.cnt_plane,
+          lanes)
 
         # with an epilogue the returned values live in lanes [64, 64+W)
         # (pair sums stay in [0, 64) so the in-place transform is
@@ -479,10 +497,10 @@ class BlockEngine:
 
     # ------------------------------------------------------------------
     def _kernel(self, len_ref, loc_ref, span_ref, ctr_ref, col_ref,
-                zr_ref, mxt_ref, sc_ref, lanes_hbm, out_hbm, win_scr,
-                cand_scr, ctr_scr, out_scr, sems, *, term_fn, name_to_idx,
-                out_cols, f_pad, mxu=False, pair_dots=(), epi_fn=None,
-                epi_cols=None):
+                zr_ref, mxt_ref, sc_ref, plane_hbm, lanes_hbm, out_hbm,
+                win_scr, cand_scr, mask_scr, ctr_scr, out_scr, sems, *,
+                term_fn, name_to_idx, out_cols, f_pad, mxu=False,
+                pair_dots=(), epi_fn=None, epi_cols=None):
         Z, nbz, WC, SL, SPAN, h2 = self.z, self.nbz, self.wc, self.sl, \
             self.span, self.h2
         B, NW = self.b, self.nw
@@ -512,6 +530,11 @@ class BlockEngine:
                 lanes_hbm.at[:, pl.ds(base, SPAN)],
                 win_scr.at[b, c], sems.at[c])
 
+        def plane_copy(b, g):
+            return pltpu.make_async_copy(
+                plane_hbm.at[g],
+                mask_scr.at[pl.ds(b * nbz, nbz), :], sems.at[2 * B + 2])
+
         # cross-group double buffering: group g's 4 span DMAs are started
         # by instance g-1 (into buf g%2) while g-1 computes on buf (g-1)%2;
         # instance g only waits.  The 4 sems alternate start->wait->start
@@ -521,16 +544,23 @@ class BlockEngine:
         def _seed():
             for c in (() if ABLATE == "nodma" else range(B + 2)):
                 span_copy(buf, bases[c], c).start()
+            if ABLATE != "nodma":
+                plane_copy(buf, i_g).start()
 
         @pl.when(grp_len > 0)
         def _wait():
             for c in (() if ABLATE == "nodma" else range(B + 2)):
                 span_copy(buf, bases[c], c).wait()
+            if ABLATE != "nodma":
+                plane_copy(buf, i_g).wait()
 
         @pl.when((nxt_len > 0) & (i_g + 1 < self.n_groups))
         def _prefetch():
             for c in (() if ABLATE == "nodma" else range(B + 2)):
                 span_copy(nbuf, nbases[c], c).start()
+            if ABLATE != "nodma":
+                plane_copy(nbuf, jnp.minimum(
+                    i_g + 1, jnp.int32(self.n_groups - 1))).start()
 
         @pl.when(grp_len > 0)
         def _run():
@@ -595,7 +625,13 @@ class BlockEngine:
                     # only the sheet shift, alignment AND, and roll
                     # amount remain on the scalar unit
                     sho = sh * WC
-                    li = jax.lax.broadcasted_iota(jnp.int32, (1, WC), 1)
+                    # whole-sheet validity row: ONE vector compare against
+                    # the DMA'd countdown plane (row > sho <=> lane-iota <
+                    # len - sho) instead of NW scalar-broadcast compares
+                    if ABLATE != "noasm":
+                        mrow = mask_scr[buf * nbz + t, :]
+                        cand_scr[f_pad:f_pad + 1, :] = \
+                            (mrow > sho).astype(jnp.float32)[None, :]
                     for k in (() if ABLATE == "noasm" else range(NW)):
                         cspan = k % (B + 2)   # window order is iy-major
                         loc = jnp.minimum(loc_ref[0, k, t] + sho,
@@ -606,9 +642,6 @@ class BlockEngine:
                             slab = pltpu.roll(slab, SL - (loc - la), axis=1)
                         seg = slab[:, :WC]
                         cand_scr[0:f_pad, k * WC:(k + 1) * WC] = seg
-                        cnt = len_ref[0, k, t] - sho
-                        cand_scr[f_pad:f_pad + 1, k * WC:(k + 1) * WC] = \
-                            (li < cnt).astype(jnp.float32)
 
                     cand = cand_scr[...]
 
