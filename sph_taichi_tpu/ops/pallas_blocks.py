@@ -125,22 +125,27 @@ class BlockEngine:
         self.interpret = interpret
         nx, ny, nz = params.grid_num
         self.nx, self.ny, self.nz = nx, ny, nz
-        # B x B grid rows per instance (round 4: parametric block size).
-        # Bigger blocks amortize the per-instance fixed cost (DMA chains,
-        # transposes, epilogue) over more particles and cut the window
-        # count per particle: at B the neighborhood union is (B+2)^2
-        # windows for B^2 own cells = ((B+2)/B)^2 windows/cell.  Evolved
-        # dragon: B=2 -> 2394 instances, 172K window assemblies; B=4 ->
-        # 608 / 109K.  The trade is vector-math padding: each center's
-        # candidate tile is 3*(B+2)*WC lanes (grows linearly in B).
+        # Bx x By grid rows per instance (round 4: parametric, possibly
+        # asymmetric block size).  Bigger blocks amortize the per-instance
+        # fixed cost (DMA chains, transposes, epilogue) over more
+        # particles and cut the window count per cell:
+        # (Bx+2)(By+2)/(Bx*By).  Evolved dragon: 2x2 -> 2394 instances,
+        # 172K window assemblies; 4x4 -> 608 / 109K.  The math-padding
+        # trade is ONE-SIDED: each center's candidate half-tile is
+        # 3*(Bx+2)*WC lanes — independent of By — so growing By alone
+        # (asymmetric blocks) wins instance amortization and 3-vs-4
+        # windows/cell WITHOUT widening the pair-math tiles that made
+        # square B=4 lose (j105: 53-59 vs 42.3 ms/step).
         self.b = int(getattr(params, "blocks_rows", 0) or 2)
+        self.by = int(getattr(params, "blocks_rows_y", 0) or self.b)
         B = self.b
-        self.nw = (B + 2) * (B + 2)
+        self.nw = (B + 2) * (self.by + 2)
         self.nbx = -(-nx // B)
-        self.nby = -(-ny // B)
+        self.nby = -(-ny // self.by)
         self.n_groups = self.nbx * self.nby
         self.z = int(getattr(params, "blocks_z_batch", 0) or 2)
         self.nbz = -(-nz // self.z)
+        self.nbz8 = -(-self.nbz // 8) * 8   # countdown-plane DMA sublane pad
         self.wc = int(getattr(params, "blocks_window_cap", 0) or 32)
         self.sl = -(-(self.wc + 128) // 128) * 128   # aligned roll slab
         self.span = int(getattr(params, "blocks_span_cap", 0) or 2048)
@@ -155,10 +160,10 @@ class BlockEngine:
 
     # ------------------------------------------------------------------
     def prepare(self, x, cell_starts):
-        """Window/span/center tables for BxB blocks — structured XLA only."""
+        """Window/span/center tables for BxBy blocks — structured XLA only."""
         nx, ny, nz = self.nx, self.ny, self.nz
         nbx, nby, z, nbz = self.nbx, self.nby, self.z, self.nbz
-        B = self.b
+        B, BY = self.b, self.by
         c = nx * ny * nz
         big = jnp.int32(2 ** 30)
 
@@ -166,10 +171,10 @@ class BlockEngine:
         row_end = cell_starts[nz:c + 1:nz].reshape(nx, ny)
         s_full = jnp.concatenate([s, row_end[..., None]], axis=2)
 
-        # pad the row grid so (Ba+ci, Bb+ri) for ci,ri in [-1, B] is a
-        # plain strided slice; padded rows are empty sentinels
+        # pad the row grid so (B*a+ci, BY*b+ri) for ci in [-1, B],
+        # ri in [-1, BY] is a plain strided slice; padded rows are empty
         px = B * nbx - nx + 2    # left pad 1, right pad to multiple + 1
-        py = B * nby - ny + 2
+        py = BY * nby - ny + 2
         sp = jnp.pad(s_full, ((1, px), (1, py), (0, 0)))
         valid = jnp.pad(jnp.ones((nx, ny), bool), ((1, px), (1, py)))
 
@@ -196,10 +201,10 @@ class BlockEngine:
         # part of the centers and are excluded by the d2 < h^2 mask
         # (cell size == support radius, state.py grid_size, so a
         # 2-column gap implies d >= h).
-        for ri in range(-1, B + 1):
+        for ri in range(-1, BY + 1):
             for ci in range(-1, B + 1):
-                w = sp[1 + ci::B, 1 + ri::B][:nbx, :nby]     # (nbx,nby,nz+1)
-                ok = valid[1 + ci::B, 1 + ri::B][:nbx, :nby]
+                w = sp[1 + ci::B, 1 + ri::BY][:nbx, :nby]    # (nbx,nby,nz+1)
+                ok = valid[1 + ci::B, 1 + ri::BY][:nbx, :nby]
                 wlo = jnp.where(ok[..., None], w[:, :, lo_cols], 0)
                 whi = jnp.where(ok[..., None], w[:, :, hi_cols], 0)
                 win_rows.append(jnp.stack([wlo, whi], axis=3)
@@ -213,14 +218,14 @@ class BlockEngine:
                     else jnp.maximum(span_hi[d], hi_k)
                 span_any[d] = ok if span_any[d] is None \
                     else (span_any[d] | ok)
-                if 0 <= ci < B and 0 <= ri < B:
+                if 0 <= ci < B and 0 <= ri < BY:
                     # batch-loop bounds from OWN rows only: batches where
                     # only neighbors are occupied hold no centers and are
                     # skipped anyway (mxt row 1)
                     zl = jnp.where(
-                        ok, row_zlo[1 + ci::B, 1 + ri::B][:nbx, :nby], nz)
+                        ok, row_zlo[1 + ci::B, 1 + ri::BY][:nbx, :nby], nz)
                     zh = jnp.where(
-                        ok, row_zhi[1 + ci::B, 1 + ri::B][:nbx, :nby], -1)
+                        ok, row_zhi[1 + ci::B, 1 + ri::BY][:nbx, :nby], -1)
                     zlo_all = zl if zlo_all is None \
                         else jnp.minimum(zlo_all, zl)
                     zhi_all = zh if zhi_all is None \
@@ -239,35 +244,35 @@ class BlockEngine:
         span_tab = jnp.stack(span_cols, axis=2).astype(jnp.int32) \
             .reshape(self.n_groups, B + 2, 2)
 
-        # center rows (own BxB): iy-major order — row r has ix column
+        # center rows (own BxBY): iy-major order — row r has ix column
         # c = r % B, iy row j = r // B, matching the half-tile split in
         # the kernel (centers with iy=j pair against the contiguous
         # ri in {j-1, j, j+1} window slice)
         ctr_rows = []
         col_rows = []
-        for ri2 in range(B):
+        for ri2 in range(BY):
             for ci2 in range(B):
-                w = sp[1 + ci2::B, 1 + ri2::B][:nbx, :nby]
-                ok = valid[1 + ci2::B, 1 + ri2::B][:nbx, :nby]
+                w = sp[1 + ci2::B, 1 + ri2::BY][:nbx, :nby]
+                ok = valid[1 + ci2::B, 1 + ri2::BY][:nbx, :nby]
                 ct = jnp.where(ok[..., None], w[:, :, ctr_cols], 0)
                 ctr_rows.append(ct)
         for ci2 in range(B):
             rows_se = []
-            for ri2 in range(B):
-                w = sp[1 + ci2::B, 1 + ri2::B][:nbx, :nby]
-                ok = valid[1 + ci2::B, 1 + ri2::B][:nbx, :nby]
+            for ri2 in range(BY):
+                w = sp[1 + ci2::B, 1 + ri2::BY][:nbx, :nby]
+                ok = valid[1 + ci2::B, 1 + ri2::BY][:nbx, :nby]
                 rows_se.append((jnp.where(ok, w[:, :, 0], 0),
                                 jnp.where(ok, w[:, :, nz], 0)))
-            # column range [lo, hi): iy0 row start .. iy0+B-1 row end
-            # (the B rows are rid-adjacent; only TRAILING rows can be
+            # column range [lo, hi): iy0 row start .. iy0+BY-1 row end
+            # (the BY rows are rid-adjacent; only TRAILING rows can be
             # invalid, so lo = row0 start and hi = max of valid ends)
             lo = rows_se[0][0]
             hi = rows_se[0][1]
-            for ri2 in range(1, B):
+            for ri2 in range(1, BY):
                 hi = jnp.maximum(hi, rows_se[ri2][1])
             col_rows.append(jnp.stack([lo, hi], axis=2))
         ctr_tab = jnp.stack(ctr_rows, axis=2).astype(jnp.int32) \
-            .reshape(self.n_groups, B * B, nbz + 1)
+            .reshape(self.n_groups, B * BY, nbz + 1)
         col_tab = jnp.stack(col_rows, axis=2).astype(jnp.int32) \
             .reshape(self.n_groups, B, 2)
 
@@ -329,10 +334,16 @@ class BlockEngine:
         span2 = jnp.concatenate([span_tab, _nxt(span_tab)], axis=1)
         col2 = jnp.concatenate([col_tab, _nxt(col_tab)], axis=1)
 
-        # countdown-mask plane (see BlockCtx.cnt_plane)
+        # countdown-mask plane (see BlockCtx.cnt_plane).  The batch dim
+        # is padded to a multiple of 8: the per-group DMA slices the
+        # plane's middle dim whole, and Mosaic requires tiled-memref
+        # slice shapes 8-aligned on the sublane dim (device compile
+        # error at nbz=25; interpret mode does not check this)
         li = jnp.arange(self.wc, dtype=jnp.int32)
+        nbz8 = -(-nbz // 8) * 8
         cnt_plane = (jnp.transpose(len_tab, (0, 2, 1))[:, :, :, None]
                      - li).reshape(self.n_groups, nbz, self.nw * self.wc)
+        cnt_plane = jnp.pad(cnt_plane, ((0, 0), (0, nbz8 - nbz), (0, 0)))
 
         return BlockCtx(len_tab=len_tab, loc_tab=loc_tab,
                         cnt_plane=cnt_plane,
@@ -438,7 +449,7 @@ class BlockEngine:
             pair_dots=tuple(pair_dots), epi_fn=epi_fn, epi_cols=epi_cols)
 
         nbz = self.nbz
-        B, NW = self.b, self.nw
+        B, BY, NW = self.b, self.by, self.nw
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
@@ -450,7 +461,7 @@ class BlockEngine:
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 2 * (B + 2), 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, B * B, nbz + 1), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, B * BY, nbz + 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 2 * B, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -468,7 +479,7 @@ class BlockEngine:
                 pltpu.VMEM((2, B + 2, f_pad, self.span),
                            jnp.float32),   # col spans, double-buffered
                 pltpu.VMEM((f_pad + 1, NW * self.wc), jnp.float32),  # cand
-                pltpu.VMEM((2 * nbz, NW * self.wc), jnp.int32),
+                pltpu.VMEM((2 * self.nbz8, NW * self.wc), jnp.int32),
                 # countdown-mask rows, double-buffered like the spans
                 pltpu.VMEM((B * (self.half + 128), f_pad),
                            jnp.float32),                          # centers
@@ -503,7 +514,7 @@ class BlockEngine:
                 pair_dots=(), epi_fn=None, epi_cols=None):
         Z, nbz, WC, SL, SPAN, h2 = self.z, self.nbz, self.wc, self.sl, \
             self.span, self.h2
-        B, NW = self.b, self.nw
+        B, BY, NW = self.b, self.by, self.nw
         HALF_CTR = self.half + 128
         HALF_OUT = self.half + 64
 
@@ -530,10 +541,12 @@ class BlockEngine:
                 lanes_hbm.at[:, pl.ds(base, SPAN)],
                 win_scr.at[b, c], sems.at[c])
 
+        NBZ8 = self.nbz8
+
         def plane_copy(b, g):
             return pltpu.make_async_copy(
                 plane_hbm.at[g],
-                mask_scr.at[pl.ds(b * nbz, nbz), :], sems.at[2 * B + 2])
+                mask_scr.at[pl.ds(b * NBZ8, NBZ8), :], sems.at[2 * B + 2])
 
         # cross-group double buffering: group g's 4 span DMAs are started
         # by instance g-1 (into buf g%2) while g-1 computes on buf (g-1)%2;
@@ -607,7 +620,7 @@ class BlockEngine:
                 def _batch():
                     ctr_off = []
                     ctr_cnt = []
-                    for r in range(B * B):
+                    for r in range(B * BY):
                         cs = ctr_ref[0, r, t]
                         ce = ctr_ref[0, r, t + 1]
                         ctr_off.append(cs)
@@ -629,7 +642,7 @@ class BlockEngine:
                     # the DMA'd countdown plane (row > sho <=> lane-iota <
                     # len - sho) instead of NW scalar-broadcast compares
                     if ABLATE != "noasm":
-                        mrow = mask_scr[buf * nbz + t, :]
+                        mrow = mask_scr[buf * NBZ8 + t, :]
                         cand_scr[f_pad:f_pad + 1, :] = \
                             (mrow > sho).astype(jnp.float32)[None, :]
                     for k in (() if ABLATE == "noasm" else range(NW)):
@@ -646,9 +659,9 @@ class BlockEngine:
                     cand = cand_scr[...]
 
                     def ctr_sheet(cs_i, _):
-                        # ---- assemble center tile (B*B*CSL, f_pad) ----
+                        # ---- assemble center tile (B*BY*CSL, f_pad) ----
                         cen_rows = []
-                        for r in range(B * B):
+                        for r in range(B * BY):
                             c = r % B      # iy-major row order
                             off = (delta_c[c] + ctr_off[r] + cs_i * CSL
                                    - col_lo[c] + c * HALF_CTR)
@@ -669,7 +682,7 @@ class BlockEngine:
                             seg = jnp.where(iota < cnt, seg, inv)
                             cen_rows.append(seg)
                         cen = jnp.concatenate(cen_rows, axis=0)
-                        # (B*B*CSL, f_pad)
+                        # (B*BY*CSL, f_pad)
 
                         # tile pair math.  "half" (default): own iy-row j
                         # centers (cen rows 2j*CSL..) only see the 12
@@ -689,7 +702,7 @@ class BlockEngine:
                         # state.py grid_size).
                         tiles = []
                         if self.tile == "quarter":
-                            for r in range(B * B):
+                            for r in range(B * BY):
                                 c_q, j_q = r % B, r // B
                                 cq = jnp.concatenate(
                                     [cand[:, ((j_q + g) * (B + 2) + c_q)
@@ -701,7 +714,7 @@ class BlockEngine:
                                     (cen[r * CSL:(r + 1) * CSL, :], cq,
                                      CSL))
                         else:
-                            for hj in range(B):
+                            for hj in range(BY):
                                 lo_l = hj * (B + 2) * WC
                                 tiles.append(
                                     (cen[hj * B * CSL:(hj + 1) * B * CSL,
@@ -848,7 +861,7 @@ class BlockEngine:
                         pad = 128 - res.shape[1]
                         if pad:
                             res = jnp.concatenate(
-                                [res, jnp.zeros((B * B * CSL, pad),
+                                [res, jnp.zeros((B * BY * CSL, pad),
                                                 jnp.float32)],
                                 axis=1)
 
@@ -857,7 +870,7 @@ class BlockEngine:
                         # touched (a plain 16-row copy would overshoot a
                         # row's final batch into the *other* own row's
                         # already-written early rows)
-                        for r in range(B * B):
+                        for r in range(B * BY):
                             c = r % B      # iy-major row order
                             off = (ctr_off[r] + cs_i * CSL - col_lo[c]
                                    + c * HALF_OUT)

@@ -222,11 +222,13 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
         rows = np.zeros((gn[0], gn[1]), np.int64)
         np.add.at(rows, (cellc[:, 0], cellc[:, 1]), 1)
         brows = int(config.get_tpu_cfg("blocksRows", params.blocks_rows))
-        # span = (B+2) iy-rows of one ix-column; own column = B rows
-        pad4 = np.pad(rows, ((0, 0), (1, brows + 2)))
-        w4 = sum(pad4[:, k:k + gn[1]] for k in range(brows + 2))
-        pad2 = np.pad(rows, ((0, 0), (0, brows)))
-        w2 = sum(pad2[:, k:k + gn[1]] for k in range(brows))
+        browsy = int(config.get_tpu_cfg(
+            "blocksRowsY", params.blocks_rows_y)) or brows
+        # span = (By+2) iy-rows of one ix-column; own column = By rows
+        pad4 = np.pad(rows, ((0, 0), (1, browsy + 2)))
+        w4 = sum(pad4[:, k:k + gn[1]] for k in range(browsy + 2))
+        pad2 = np.pad(rows, ((0, 0), (0, browsy)))
+        w2 = sum(pad2[:, k:k + gn[1]] for k in range(browsy))
 
         def _round_up(v, q):
             return int(-(-int(v) // q) * q)
@@ -243,10 +245,12 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
         params = _dc.replace(
             params,
             blocks_rows=brows,
+            blocks_rows_y=browsy,
             blocks_span_cap=int(config.get_tpu_cfg(
-                "blocksSpanCap", min(max(span_need, 1024), 6144))),
+                "blocksSpanCap",
+                min(max(span_need, 1024), 4096 + 1024 * browsy))),
             blocks_col_cap=int(config.get_tpu_cfg(
-                "blocksColCap", min(max(col_need, 512), 4096))),
+                "blocksColCap", min(max(col_need, 512), 2048 * browsy))),
             slot_layers=int(config.get_tpu_cfg(
                 "slotLayers", min(max(layer_need, 2), 8))))
 

@@ -128,10 +128,15 @@ class SimParams:
     rows_per_instance: int = 8    # pallas: grid rows per kernel instance
     assemble: str = "roll"        # pallas: window assembly ("roll" | "slab")
     # v3 block engine (ops/pallas_blocks.py) knobs
-    blocks_rows: int = 2          # B: grid rows per instance (BxB block).
+    blocks_rows: int = 2          # Bx: grid rows per instance (x extent).
     #                               Bigger B amortizes per-instance fixed
     #                               cost ((B+2)^2 windows / B^2 own cells)
     #                               at the price of wider pair-math tiles
+    blocks_rows_y: int = 0        # By: iy rows per instance (0 = Bx).
+    #                               Growing By alone keeps the pair-math
+    #                               half-tile at 3*(Bx+2)*WC lanes while
+    #                               amortizing the per-instance floor —
+    #                               the asymmetric-block round-4 lever
     blocks_z_batch: int = 2       # z-cells per center batch (Z)
     blocks_window_cap: int = 32   # lanes per (Z+2)-cell window (WC)
     blocks_span_cap: int = 4096   # lanes per 4-row ix-column span DMA

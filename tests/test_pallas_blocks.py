@@ -42,10 +42,13 @@ def test_block_solver_equivalence_lattice(method):
     _assert_states_close(sg, sp, matched=True)
 
 
-@pytest.mark.parametrize("rows,tile", [(3, "half"), (4, "half"),
-                                       (4, "quarter")])
-def test_block_solver_equivalence_block_rows(rows, tile, rng):
-    """Parametric BxB blocks (round 4): bigger blocks amortize the
+@pytest.mark.parametrize("rows,rows_y,tile", [
+    (3, 0, "half"), (4, 0, "half"), (4, 0, "quarter"),
+    # asymmetric blocks (round 4): By > Bx amortizes the per-instance
+    # floor while keeping the pair-math half-tile at 3*(Bx+2)*WC lanes
+    (2, 4, "half"), (2, 4, "quarter"), (2, 6, "half")])
+def test_block_solver_equivalence_block_rows(rows, rows_y, tile, rng):
+    """Parametric BxBy blocks (round 4): bigger blocks amortize the
     per-instance fixed cost and cut windows per particle; the pair set
     must be invariant.  Clumped layout forces the overflow sheets."""
     d = small_scene_dict(method=0)
@@ -54,7 +57,7 @@ def test_block_solver_equivalence_block_rows(rows, tile, rng):
     x = _clumped_positions(rng, params, particles)
     sg = _run(0, "gather", 2, perturb=x)
     sp = _run(0, "pallas_blocks_interpret", 2, perturb=x,
-              blocks_rows=rows, blocks_tile=tile)
+              blocks_rows=rows, blocks_rows_y=rows_y, blocks_tile=tile)
     _assert_states_close(sg, sp)
 
 
