@@ -114,6 +114,10 @@ def device_parity_probe():
     # oracle capacities sized for the clump: the gather side must be
     # exact (neighbor_overflow asserted zero below)
     params, particles, _ = build_scene(cfg, neighbor_cap=512, cell_cap=256)
+    # the uniform re-scatter below occupies the WHOLE domain while the
+    # group-compaction cap was auto-sized from the t=0 fluid block —
+    # disable compaction rather than drop groups
+    params = dataclasses.replace(params, blocks_groups_cap=0)
     rng = np.random.default_rng(31)
     x = np.asarray(particles.x).copy()
     n = int((np.asarray(particles.material) != -1).sum())

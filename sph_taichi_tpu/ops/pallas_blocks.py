@@ -111,7 +111,8 @@ class BlockEngine:
     # metric keys of BlockCtx.diag (sharded runs need the structure static)
     diag_keys = ("max_span_len", "max_window_len", "max_batch_centers",
                  "max_cell_occupancy_engine", "max_colgrp_len",
-                 "span_overflow", "window_overflow", "group_overflow")
+                 "span_overflow", "window_overflow", "group_overflow",
+                 "group_compact_overflow", "num_occupied_groups")
     # traverse() accepts an `epilogue` transform applied in-kernel to the
     # finished per-center pair sums before writeback (see traverse docs)
     supports_epilogue = True
@@ -146,6 +147,10 @@ class BlockEngine:
         self.z = int(getattr(params, "blocks_z_batch", 0) or 2)
         self.nbz = -(-nz // self.z)
         self.nbz8 = -(-self.nbz // 8) * 8   # countdown-plane DMA sublane pad
+        # group-compaction capacity: kernel grid instances (0 = off —
+        # every group gets an instance, compaction is a no-op)
+        gcap = int(getattr(params, "blocks_groups_cap", 0) or 0)
+        self.gcap = min(gcap, self.n_groups) if gcap else self.n_groups
         self.wc = int(getattr(params, "blocks_window_cap", 0) or 32)
         self.sl = -(-(self.wc + 128) // 128) * 128   # aligned roll slab
         self.span = int(getattr(params, "blocks_span_cap", 0) or 2048)
@@ -324,9 +329,39 @@ class BlockEngine:
             [jnp.maximum(jnp.max(win_len, axis=1), 1),
              jnp.max(batch_c, axis=1)], axis=1).astype(jnp.int32)
 
+        # ---- group compaction (round 4) ----
+        # Only ~30% of dragon's groups hold any own particles at t=0
+        # (the fluid footprint covers a fraction of the domain's xy
+        # plane); empty groups skip all compute via the grp_len guard
+        # but still pay per-instance setup (grid sequencing, SMEM scalar
+        # reads, branch checks) — the measured per-instance floor.  The
+        # kernel reads everything through per-group tables, so shrinking
+        # the grid is pure table surgery: stable-sort occupied groups
+        # first, gather every table by that order, truncate to the
+        # static blocks_groups_cap.  Tail rows beyond the occupied count
+        # are real (empty) groups — natural zero-work sentinels.  An
+        # occupied group beyond the cap means dropped pairs: fatal flag.
+        occ_g = jnp.any(col_tab[:, :, 1] > col_tab[:, :, 0], axis=1)
+        if self.gcap < self.n_groups:
+            order = jnp.argsort(jnp.logical_not(occ_g),
+                                stable=True).astype(jnp.int32)
+            sel = order[:self.gcap]
+            len_tab = len_tab[sel]
+            loc_tab = loc_tab[sel]
+            span_tab = span_tab[sel]
+            ctr_tab = ctr_tab[sel]
+            col_tab = col_tab[sel]
+            zrange = zrange[sel]
+            mxt_tab = mxt_tab[sel]
+        n_occ = jnp.sum(occ_g.astype(jnp.int32))
+        diag["group_compact_overflow"] = n_occ > self.gcap
+        # informational: how tight the compaction cap is (cap sizing aid)
+        diag["num_occupied_groups"] = n_occ
+
         # doubled tables: rows for group i+1 let instance i prefetch the
         # next group's span slabs while computing on its own (the kernel
-        # double-buffers win_scr; the last group prefetches nothing)
+        # double-buffers win_scr; the last group prefetches nothing).
+        # Built AFTER compaction so "next" means the compacted successor.
         def _nxt(tab):
             return jnp.concatenate(
                 [tab[1:], jnp.zeros_like(tab[:1])], axis=0)
@@ -338,11 +373,13 @@ class BlockEngine:
         # is padded to a multiple of 8: the per-group DMA slices the
         # plane's middle dim whole, and Mosaic requires tiled-memref
         # slice shapes 8-aligned on the sublane dim (device compile
-        # error at nbz=25; interpret mode does not check this)
+        # error at nbz=25; interpret mode does not check this).  Built
+        # from the compacted len_tab (plane rows ride the kernel grid).
         li = jnp.arange(self.wc, dtype=jnp.int32)
         nbz8 = -(-nbz // 8) * 8
         cnt_plane = (jnp.transpose(len_tab, (0, 2, 1))[:, :, :, None]
-                     - li).reshape(self.n_groups, nbz, self.nw * self.wc)
+                     - li).reshape(len_tab.shape[0], nbz,
+                                   self.nw * self.wc)
         cnt_plane = jnp.pad(cnt_plane, ((0, 0), (0, nbz8 - nbz), (0, 0)))
 
         return BlockCtx(len_tab=len_tab, loc_tab=loc_tab,
@@ -453,7 +490,7 @@ class BlockEngine:
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
-            grid=(self.n_groups,),
+            grid=(self.gcap,),
             in_specs=[
                 pl.BlockSpec((1, NW, nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -567,13 +604,13 @@ class BlockEngine:
             if ABLATE != "nodma":
                 plane_copy(buf, i_g).wait()
 
-        @pl.when((nxt_len > 0) & (i_g + 1 < self.n_groups))
+        @pl.when((nxt_len > 0) & (i_g + 1 < self.gcap))
         def _prefetch():
             for c in (() if ABLATE == "nodma" else range(B + 2)):
                 span_copy(nbuf, nbases[c], c).start()
             if ABLATE != "nodma":
                 plane_copy(nbuf, jnp.minimum(
-                    i_g + 1, jnp.int32(self.n_groups - 1))).start()
+                    i_g + 1, jnp.int32(self.gcap - 1))).start()
 
         @pl.when(grp_len > 0)
         def _run():

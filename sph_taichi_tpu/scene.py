@@ -235,6 +235,15 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
 
         span_need = _round_up(int(w4.max()) * 1.7 + 512, 256)
         col_need = _round_up(int(w2.max()) * 1.7 + 64, 256)
+        # group compaction capacity: occupied (Bx, By) xy-tiles at t=0
+        # with the standard evolution margin (the fluid footprint grows
+        # as splashes spread; overflow is a FATAL flag at runtime)
+        nbx_g, nby_g = -(-gn[0] // brows), -(-gn[1] // browsy)
+        occ_t = np.add.reduceat(
+            np.add.reduceat((rows > 0), np.arange(0, gn[0], brows), axis=0),
+            np.arange(0, gn[1], browsy), axis=1)
+        groups_need = _round_up((occ_t > 0).sum() * 1.7 + 16, 8)
+        groups_need = min(groups_need, nbx_g * nby_g)
         # slot engine layers: per-CELL occupancy with the same 1.7x
         # evolution margin (capacity = 8 * layers per cell; the fatal
         # slot_overflow flag catches drift beyond the margin)
@@ -251,6 +260,8 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
                 min(max(span_need, 1024), 4096 + 1024 * browsy))),
             blocks_col_cap=int(config.get_tpu_cfg(
                 "blocksColCap", min(max(col_need, 512), 2048 * browsy))),
+            blocks_groups_cap=int(config.get_tpu_cfg(
+                "blocksGroupsCap", groups_need)),
             slot_layers=int(config.get_tpu_cfg(
                 "slotLayers", min(max(layer_need, 2), 8))))
 

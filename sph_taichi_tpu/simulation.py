@@ -67,13 +67,45 @@ class Simulation:
         """substeps x solver.step, as one compiled program."""
         if self._frame_fn is None:
             self._frame_fn = self.solver.make_frame_fn(self.substeps)
+        # kept for the compaction-overflow re-run below; frame_fn DONATES
+        # its input buffers, so a reference alone would be deleted — take
+        # a device copy (HBM-bandwidth cheap: ~0.1 ms at 1.7M particles),
+        # only while compaction is active
+        entry_state = None
+        if getattr(self.params, "blocks_groups_cap", 0):
+            import jax
+            entry_state = jax.tree.map(lambda a: a.copy(), self.state)
         self.state, self.metrics = self._frame_fn(self.state)
         self.frame += 1
         # loud capacity-overflow surfacing (VERDICT r2 item 8): a too-small
         # cap silently drops pair contributions; warn every frame it fires
         # (cheap: flags ride the metrics already materialized per frame)
         from sph_taichi_tpu.utils.profiling import check_overflow
-        check_overflow(self.metrics, where=f"frame {self.frame}")
+        fired = check_overflow(self.metrics, where=f"frame {self.frame}")
+        # group-compaction recovery: the cap is sized from the t=0 fluid
+        # footprint; a long run whose fluid spreads past the margin (a
+        # dam break covering the tank floor) trips the fatal flag.  The
+        # affected FRAME is re-run uncompacted — the flag is computed in
+        # prepare() BEFORE the traversals consume the tables, but the
+        # whole frame is one compiled program, so its steps already used
+        # truncated tables.  Rebuilding the solver without compaction
+        # and re-running from the entry state keeps physics exact at the
+        # cost of one recompile (the state pytree is solver-independent).
+        if "group_compact_overflow" in fired \
+                and getattr(self.params, "blocks_groups_cap", 0):
+            import dataclasses
+            import warnings
+            warnings.warn(
+                "group compaction cap exceeded at frame %d; rebuilding "
+                "solver uncompacted and re-running the frame"
+                % self.frame, RuntimeWarning)
+            prev = entry_state
+            self.params = dataclasses.replace(
+                self.params, blocks_groups_cap=0)
+            self.solver = build_solver(self.params)
+            self._frame_fn = self.solver.make_frame_fn(self.substeps)
+            self.state, self.metrics = self._frame_fn(prev)
+            check_overflow(self.metrics, where=f"frame {self.frame} retry")
 
     def run(self, n_frames, export=True, checkpoint_interval=0,
             progress=False):

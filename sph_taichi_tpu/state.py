@@ -137,6 +137,14 @@ class SimParams:
     #                               half-tile at 3*(Bx+2)*WC lanes while
     #                               amortizing the per-instance floor —
     #                               the asymmetric-block round-4 lever
+    blocks_groups_cap: int = 0    # group compaction: kernel grid size
+    #                               (occupied groups only; 0 = off).
+    #                               ~70% of dragon's groups are empty at
+    #                               t=0 — compaction drops their
+    #                               per-instance setup cost.  Sized by
+    #                               scene.py from t=0 footprint with the
+    #                               standard margin; overflow is FATAL
+    #                               (dropped groups = dropped pairs)
     blocks_z_batch: int = 2       # z-cells per center batch (Z)
     blocks_window_cap: int = 32   # lanes per (Z+2)-cell window (WC)
     blocks_span_cap: int = 4096   # lanes per 4-row ix-column span DMA

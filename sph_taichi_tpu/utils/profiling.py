@@ -76,7 +76,7 @@ class StepTimer:
 FATAL_OVERFLOW_KEYS = ("span_overflow", "group_overflow",
                        "neighbor_overflow", "spill_overflow",
                        "migration_overflow", "halo_overflow",
-                       "slot_overflow")
+                       "slot_overflow", "group_compact_overflow")
 
 
 def check_overflow(metrics, where="step", strict=False):

@@ -55,9 +55,13 @@ def test_block_solver_equivalence_block_rows(rows, rows_y, tile, rng):
     cfg = SimConfig(config_dict=d)
     params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
     x = _clumped_positions(rng, params, particles)
+    # the clumped layout re-scatters across the whole domain while the
+    # compaction cap was auto-sized from the t=0 lattice — disable it
+    # (its own equivalence/overflow coverage: test_block_compaction_*)
     sg = _run(0, "gather", 2, perturb=x)
     sp = _run(0, "pallas_blocks_interpret", 2, perturb=x,
-              blocks_rows=rows, blocks_rows_y=rows_y, blocks_tile=tile)
+              blocks_rows=rows, blocks_rows_y=rows_y, blocks_tile=tile,
+              blocks_groups_cap=0)
     _assert_states_close(sg, sp)
 
 
@@ -70,8 +74,90 @@ def test_block_solver_equivalence_clumped(method, rng):
     params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
     x = _clumped_positions(rng, params, particles)
     sg = _run(method, "gather", 1, perturb=x)
-    sp = _run(method, "pallas_blocks_interpret", 1, perturb=x)
+    sp = _run(method, "pallas_blocks_interpret", 1, perturb=x,
+              blocks_groups_cap=0)
     _assert_states_close(sg, sp)
+
+
+def _occupied_groups(params, particles, perturb=None):
+    """Probe occupied-group count via one uncompacted interpret step
+    (the engine reports it in diag: num_occupied_groups)."""
+    p = dataclasses.replace(params, backend="pallas_blocks_interpret",
+                            blocks_groups_cap=0)
+    if perturb is not None:
+        particles = particles._replace(x=jnp.asarray(perturb))
+    solver = build_solver(p)
+    state = solver.initialize(particles)
+    _, metrics = solver.step(state)
+    return int(np.asarray(metrics["num_occupied_groups"]))
+
+
+def test_block_compaction_active_equivalence():
+    """Group compaction (round 4): the kernel grid holds occupied groups
+    only.  The small scene's auto-sized cap clamps to n_groups (the
+    margin swamps the tiny grid), so set the cap EXACTLY to the probed
+    occupancy — zero slack, compaction active.  Physics must match the
+    oracle and the fatal flag stay quiet."""
+    from sph_taichi_tpu.ops.pairs import make_engine
+
+    d = small_scene_dict(method=0)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    occ = _occupied_groups(params, particles)
+    params = dataclasses.replace(params,
+                                 backend="pallas_blocks_interpret",
+                                 blocks_groups_cap=occ)
+    eng = make_engine(params)
+    assert 0 < eng.gcap < eng.n_groups, \
+        "scene must exercise an actually-compacted grid"
+    solver = build_solver(params)
+    state = solver.initialize(particles)
+    for _ in range(2):
+        state, metrics = solver.step(state)
+    assert not bool(np.asarray(metrics["group_compact_overflow"]))
+    sg = _run(0, "gather", 2)
+    _assert_states_close(sg, state, matched=True)
+
+
+def test_block_compaction_overflow_flag(rng):
+    """A cap below the probed occupancy must trip the FATAL
+    group_compact_overflow flag (dropped groups = dropped pairs)."""
+    d = small_scene_dict(method=0)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    x = _clumped_positions(rng, params, particles)
+    occ = _occupied_groups(params, particles, perturb=x)
+    assert occ > 1
+    params = dataclasses.replace(params,
+                                 backend="pallas_blocks_interpret",
+                                 blocks_groups_cap=occ - 1)
+    solver = build_solver(params)
+    state = solver.initialize(particles._replace(x=jnp.asarray(x)))
+    state, metrics = solver.step(state)
+    assert bool(np.asarray(metrics["group_compact_overflow"]))
+
+
+def test_block_compaction_recovery():
+    """Simulation.run_frame must detect a tripped compaction cap, warn,
+    rebuild the solver uncompacted, and re-run the frame from the saved
+    entry state — physics identical to an uncompacted run."""
+    from sph_taichi_tpu.simulation import Simulation
+
+    d = small_scene_dict(method=0)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    occ = _occupied_groups(params, particles)
+    assert occ > 1
+    d["TPU"] = {"blocksGroupsCap": occ - 1}
+    sim = Simulation(config=SimConfig(config_dict=d),
+                     backend="pallas_blocks_interpret")
+    with pytest.warns(RuntimeWarning):
+        sim.run_frame()
+    # post-recovery the solver is uncompacted and the frame re-ran clean
+    assert sim.params.blocks_groups_cap == 0
+    assert not bool(np.asarray(sim.metrics["group_compact_overflow"]))
+    sg = _run(0, "gather", 1)
+    _assert_states_close(sg, sim.state, matched=True)
 
 
 def test_block_two_way_rigid_equivalence():
