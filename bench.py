@@ -145,7 +145,7 @@ def device_parity_probe():
 
             def term(fi, fj, d2, rn, dots):
                 w = cubic_kernel(rn, h, _p2.dim)
-                gs = cubic_kernel_derivative_scalar(rn, h, _p2.dim)
+                gs = cubic_kernel_derivative_scalar(rn, h, _p2.dim, inv_r=dots.get("_inv"))
                 return {"den": fj["m_V"] * w, "f": fj["m_V"] * gs}
 
             out = _eng.traverse(ctx, ps.x, {"m_V": ps.m_V}, term,

@@ -449,7 +449,7 @@ def compute_non_pressure_forces(p: Particles, ctx, engine,
                             -(st / fi["m"]) * fj["m"] * w_st, 0.0)
         # viscosity (WCSPH.py:105-116)
         v_xy = dots["v"]
-        gradw_s = cubic_kernel_derivative_scalar(rn, h, dim)
+        gradw_s = cubic_kernel_derivative_scalar(rn, h, dim, inv_r=dots.get("_inv"))
         d = 2.0 * (dim + 2.0)
         visc_coef = jnp.where(
             fluid_j,

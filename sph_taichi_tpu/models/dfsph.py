@@ -75,7 +75,7 @@ class DFSPHSolver(SPHBase):
             real = fj["material"] >= 0
             w = cubic_kernel(rn, h, params.dim)
             den = jnp.where(real, fj["m_V"] * w, 0.0)
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             gcoef = -fj["m_V"] * gradw_s
             sq = jnp.where(fj["material"] == MATERIAL_FLUID,
                            gcoef * gcoef * d2, 0.0)
@@ -135,7 +135,7 @@ class DFSPHSolver(SPHBase):
         h = params.support_radius
 
         def term(fi, fj, d2, rn, dots):
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             # grad_p_j = -m_V_j * gradW(x_i - x_j)
             gcoef = -fj["m_V"] * gradw_s
             real = fj["material"] >= 0
@@ -160,7 +160,7 @@ class DFSPHSolver(SPHBase):
         h = params.support_radius
 
         def term(fi, fj, d2, rn, dots):
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             real = fj["material"] >= 0
             div = jnp.where(real, fj["m_V"] * gradw_s * dots["v"], 0.0)
             return {"div": div, "cnt": jnp.where(real, 1.0, 0.0)}
@@ -203,7 +203,7 @@ class DFSPHSolver(SPHBase):
         h = params.support_radius
 
         def term(fi, fj, d2, rn, dots):
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             real = fj["material"] >= 0
             return {"div": jnp.where(real,
                                      fj["m_V"] * gradw_s * dots["v"],
@@ -302,7 +302,7 @@ class DFSPHSolver(SPHBase):
             # the term closure (the Pallas kernel takes no traced
             # constants); it scales "dv" linearly, so it is applied after
             # the traversal instead.
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             fluid_j = fj["material"] == MATERIAL_FLUID
             solid_j = fj["material"] == MATERIAL_SOLID
             k_i = fi["kappa"]

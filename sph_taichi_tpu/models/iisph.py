@@ -64,7 +64,7 @@ class IISPHSolver(SPHBase):
 
         def term(fi, fj, d2, rn, dots):
             fluid_j = fj["material"] == MATERIAL_FLUID
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             coef = jnp.where(
                 fluid_j,
                 d * visc * (fj["m"] / fj["density"]) * dots["v"]
@@ -125,7 +125,7 @@ class IISPHSolver(SPHBase):
 
         def term(fi, fj, d2, rn, dots):
             real = fj["material"] >= 0
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             mg = jnp.where(real, fj["m_V"] * gradw_s, 0.0)
             q = mg * gradw_s * d2                 # m_V_j |gradW_ij|^2
             div = mg * dots["v"]                  # m_V_j (v_i-v_j).gradW_ij
@@ -199,7 +199,7 @@ class IISPHSolver(SPHBase):
         def term(fi, fj, d2, rn, dots):
             fluid_j = fj["material"] == MATERIAL_FLUID
             solid_j = fj["material"] == MATERIAL_SOLID
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             dpi = fi["pr"] / (fi["density"] * fi["density"])
             dpj = jnp.where(fluid_j,
                             fj["pr"] / (fj["density"] * fj["density"]),
@@ -257,7 +257,7 @@ class IISPHSolver(SPHBase):
 
         def term(fi, fj, d2, rn, dots):
             real = fj["material"] >= 0
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             return {"ap": jnp.where(real,
                                     fj["m_V"] * gradw_s * dots["a"],
                                     0.0)}

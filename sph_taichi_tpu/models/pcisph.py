@@ -77,7 +77,7 @@ class PCISPHSolver(SPHBase):
         rho0 = float(self.density_0)
 
         def term(fi, fj, d2, rn, dots):
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             real = fj["material"] >= 0
             return {"div": jnp.where(real,
                                      fj["m_V"] * gradw_s * dots["v"], 0.0)}
@@ -132,7 +132,7 @@ class PCISPHSolver(SPHBase):
         def term(fi, fj, d2, rn, dots):
             fluid_j = fj["material"] == MATERIAL_FLUID
             solid_j = fj["material"] == MATERIAL_SOLID
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, params.dim, inv_r=dots.get("_inv"))
             dpi = fi["pr"] / (fi["density"] * fi["density"])
             dpj = jnp.where(fluid_j,
                             fj["pr"] / (fj["density"] * fj["density"]),

@@ -100,7 +100,7 @@ class WCSPHSolver(SPHBase):
         m_nc = p.m / density_nc                          # WCSPH.py:114
 
         def term(fi, fj, d2, rn, dots):
-            gradw_s = cubic_kernel_derivative_scalar(rn, h, dim)
+            gradw_s = cubic_kernel_derivative_scalar(rn, h, dim, inv_r=dots.get("_inv"))
             fluid_j = fj["material"] == MATERIAL_FLUID
             solid_j = fj["material"] == MATERIAL_SOLID
             r2 = d2

@@ -26,9 +26,15 @@ def _norm_const(dim, h):
 
 
 def cubic_kernel(r_norm, h, dim=3):
-    """W(r) — reference sph_base.py:24-44. r_norm: any-shape array."""
+    """W(r) — reference sph_base.py:24-44. r_norm: any-shape array.
+
+    q is computed as r*(1/h) (one reciprocal folded at trace time)
+    instead of r/h: VPU divides are multi-pass and this runs once per
+    padded candidate LANE in the pair kernels (~6x more lanes than real
+    pairs).  Same formula, f32 rounding shifts <= 1 ulp.
+    """
     k = _norm_const(dim, h)
-    q = r_norm / h
+    q = r_norm * (1.0 / float(h))
     q2 = q * q
     q3 = q2 * q
     w_near = k * (6.0 * q3 - 6.0 * q2 + 1.0)
@@ -57,17 +63,27 @@ def cubic_kernel_derivative(r, h, dim=3):
     return jnp.where(valid, res, 0.0)
 
 
-def cubic_kernel_derivative_scalar(r_norm, h, dim=3):
+def cubic_kernel_derivative_scalar(r_norm, h, dim=3, inv_r=None):
     """dW/dr / r — scalar gradient factor g such that grad W = g * r.
 
     Useful in pair kernels that already have r vectors and distances:
-    avoids recomputing the norm. Matches cubic_kernel_derivative exactly:
-    grad W(r) = g(|r|) * r.
+    avoids recomputing the norm. Matches cubic_kernel_derivative to f32
+    rounding: grad W(r) = g(|r|) * r.
+
+    ``inv_r``: optional precomputed 1/|r| (engines provide it in mxu
+    mode as ``dots["_inv"]`` via one rsqrt(d2) — round-4 strength
+    reduction: drops the per-lane divide here AND the engine's sqrt).
+    Values shift <= 2 ulp vs the divide form; the masked r<=1e-5 region
+    is unaffected (result forced to 0 either way).
     """
     k = 6.0 * _norm_const(dim, h)
-    q = r_norm / h
-    safe = jnp.maximum(r_norm, 1e-24)
-    inv_rh = 1.0 / (safe * h)
+    inv_h = 1.0 / float(h)
+    q = r_norm * inv_h
+    if inv_r is None:
+        safe = jnp.maximum(r_norm, 1e-24)
+        inv_rh = inv_h / safe
+    else:
+        inv_rh = inv_r * inv_h
     near = k * q * (3.0 * q - 2.0) * inv_rh
     fac = 1.0 - q
     far = -k * fac * fac * inv_rh

@@ -143,7 +143,11 @@ class GatherEngine:
 
         if mode == "mxu":
             d2 = rn * rn
-            dots = {}
+            # "_inv" = 1/|r| via one rsqrt — term fns use it to skip
+            # their per-lane divide (round-4 strength reduction; the
+            # Pallas engines provide the same key so engine and oracle
+            # shift rounding together, <= 2 ulp)
+            dots = {"_inv": jax.lax.rsqrt(jnp.maximum(d2, 1e-38))}
             for u in pair_dots:
                 du = tuple(fi[f"{u}{d}"] - fj[f"{u}{d}"] for d in range(3))
                 dots[u] = vdot(du, rvec)

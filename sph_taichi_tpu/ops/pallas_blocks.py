@@ -63,7 +63,8 @@ CSL = 16          # center sublanes per own row per batch (Z*8 at Z=2)
 # results, isolates the epilogue's cost), "dmaonly" = only the span
 # DMAs + grid scaffolding run (floor split), "nodma" = skip the span
 # DMA start/wait (compute on stale VMEM).  NOTE: "noepi" and "notr"
-# FAULT the TPU worker (kernel crash, rounds 3+4) — do not run them on
+# FAULT the TPU worker (kernel crash, rounds 3+4), and "nodma" faults
+# it too since group compaction landed (j212) — do not run these on
 # device.  Never set in production.
 ABLATE = ""
 
@@ -769,13 +770,18 @@ class BlockEngine:
                                     fi["x2"] - fj["x2"])
                             d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
                                   + rvec[2] * rvec[2])
-                            rn = jnp.sqrt(d2)
                             mask = ((cq_t[f_pad:f_pad + 1, :] > 0.5)
                                     & (d2 < h2)
                                     & (fi["gidx"] != fj["gidx"]))
 
                             if mxu:
-                                dots = {}
+                                # one rsqrt replaces sqrt + the term
+                                # fns' divide (rn = d2*inv, <= 2 ulp;
+                                # GatherEngine ships the same "_inv")
+                                inv = jax.lax.rsqrt(
+                                    jnp.maximum(d2, jnp.float32(1e-38)))
+                                rn = d2 * inv
+                                dots = {"_inv": inv}
                                 for u in pair_dots:
                                     du = tuple(
                                         fi[f"{u}{dd}"] - fj[f"{u}{dd}"]
@@ -785,6 +791,7 @@ class BlockEngine:
                                                + du[2] * rvec[2])
                                 contribs = term_fn(fi, fj, d2, rn, dots)
                             else:
+                                rn = jnp.sqrt(d2)
                                 contribs = term_fn(fi, fj, rvec, rn)
 
                             if self.reduce == "sum":

@@ -233,8 +233,18 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
         def _round_up(v, q):
             return int(-(-int(v) // q) * q)
 
-        span_need = _round_up(int(w4.max()) * 1.7 + 512, 256)
-        col_need = _round_up(int(w2.max()) * 1.7 + 64, 256)
+        # DFSPH (method 4) runs the same scenes at 10x dt
+        # (dragon_bath_dfsph.json:11: 4e-3 vs 4e-4) — per-step
+        # displacement and splash compression pile far more particles
+        # into the worst row than WCSPH evolution does.  Device j209:
+        # the 1.7x margin overflowed (span) past ~0.12 s sim time and
+        # went non-finite; j211 at span 6144 stayed finite through the
+        # violent phase.  3.3x lands the dragon at 6400, just above that
+        # validated 6144, and the By sweep (j210: bigger spans, flat
+        # ms/step) showed oversized caps are ~free on device.
+        vf = 3.3 if method == 4 else 1.0
+        span_need = _round_up(int(w4.max()) * 1.7 * vf + 512, 256)
+        col_need = _round_up(int(w2.max()) * 1.7 * vf + 64, 256)
         # group compaction capacity: occupied (Bx, By) xy-tiles at t=0
         # with the standard evolution margin (the fluid footprint grows
         # as splashes spread; overflow is a FATAL flag at runtime)
@@ -242,7 +252,7 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
         occ_t = np.add.reduceat(
             np.add.reduceat((rows > 0), np.arange(0, gn[0], brows), axis=0),
             np.arange(0, gn[1], browsy), axis=1)
-        groups_need = _round_up((occ_t > 0).sum() * 1.7 + 16, 8)
+        groups_need = _round_up((occ_t > 0).sum() * 1.7 * vf + 16, 8)
         groups_need = min(groups_need, nbx_g * nby_g)
         # slot engine layers: per-CELL occupancy with the same 1.7x
         # evolution margin (capacity = 8 * layers per cell; the fatal
@@ -257,9 +267,11 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
             blocks_rows_y=browsy,
             blocks_span_cap=int(config.get_tpu_cfg(
                 "blocksSpanCap",
-                min(max(span_need, 1024), 4096 + 1024 * browsy))),
+                min(max(span_need, 1024),
+                    int((4096 + 1024 * browsy) * max(1.0, vf * 0.55))))),
             blocks_col_cap=int(config.get_tpu_cfg(
-                "blocksColCap", min(max(col_need, 512), 2048 * browsy))),
+                "blocksColCap",
+                min(max(col_need, 512), int(2048 * browsy * vf)))),
             blocks_groups_cap=int(config.get_tpu_cfg(
                 "blocksGroupsCap", groups_need)),
             slot_layers=int(config.get_tpu_cfg(

@@ -1,0 +1,101 @@
+"""Reduced-scale sharded armadillo steps on the virtual CPU mesh.
+
+VERDICT r3 "what's missing" #3: the full 1.74M sharded run initializes
+on 8 virtual CPU devices but its first step dies in XLA:CPU's hardcoded
+40 s collective-rendezvous termination timeout (single host core, giant
+per-device ops serialize and skew collective arrivals — an emulation
+limit, docs/DESIGN.md).  This script runs the SAME armadillo_bath_dynamic
+scene (two-way coupling, 3 dynamic rigid bodies, real 5x3x2 domain) at a
+reduced particleRadius and records the result at the repo root.
+
+Measured r4 (see docs/DESIGN.md "Sharded reduced-scale steps"):
+- radius 0.0155 -> 474,804 particles (the 400-600K window): init OK,
+  step 0 COMPLETES with mig_of=0 halo_of=0 (1154 s wall on one host
+  core), then step 1 aborts in the same 40 s rendezvous termination —
+  the emulation's wall, one step later.
+- radius 0.019 -> ~260K: expected to complete all steps (smaller
+  per-device ops keep collective arrival skew under the timeout).
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+       python tools/sharded_halfscale.py [radius] [steps] [tag]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from sph_taichi_tpu import SimConfig, build_scene  # noqa: E402
+from sph_taichi_tpu.parallel.sharding import ShardedSolver  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    radius = float(sys.argv[1]) if len(sys.argv) > 1 else 0.0155
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    tag = sys.argv[3] if len(sys.argv) > 3 else "HALF"
+    out = os.path.join(ROOT, "SHARDED_%s_r04.json" % tag)
+
+    assert len(jax.devices()) >= 8, "need 8 virtual devices (XLA_FLAGS)"
+    d = json.load(open(os.path.join(ROOT,
+                                    "data/scenes/armadillo_bath_dynamic.json")))
+    d["Configuration"]["particleRadius"] = radius
+    cfg = SimConfig(config_dict=d)
+    t0 = time.time()
+    params, particles, _ = build_scene(cfg, scene_dir=ROOT)
+    print("scene built: n=%d (%.1fs)" % (params.n_particles,
+                                         time.time() - t0), flush=True)
+
+    sharded = ShardedSolver(params, n_devices=8, mig_cap=8192,
+                            halo_cap=65536, loc_cap=params.n_pad)
+    t0 = time.time()
+    state = sharded.initialize(particles)
+    mat = np.asarray(state.p.material).reshape(8, -1)
+    dyn = np.asarray(state.p.is_dynamic).reshape(8, -1)
+    owned = ((mat != -1) & (dyn != -1)).sum(axis=1)
+    print("init %.1fs; owned per device: %s" % (time.time() - t0,
+                                                owned.tolist()), flush=True)
+
+    rec = {"n_particles": int(params.n_particles),
+           "particle_radius": radius,
+           "n_devices": 8, "owned_per_device": owned.tolist(),
+           "steps_completed": 0, "finite": None}
+    step_times = []
+    # the rendezvous-timeout abort is a LOG(FATAL) — uncatchable — so
+    # persist progress after every step; a hard abort leaves the last
+    # completed step's honest record on disk
+    json.dump(rec, open(out, "w"), indent=1)
+    try:
+        for i in range(n_steps):
+            t0 = time.time()
+            state, m = sharded.step(state)
+            # force completion + inspect flags
+            mo = int(np.asarray(m["migration_overflow"]).max())
+            ho = int(np.asarray(m["halo_overflow"]).max())
+            step_times.append(time.time() - t0)
+            rec["steps_completed"] = i + 1
+            rec["step_seconds"] = [round(t, 1) for t in step_times]
+            print("step %d: %.1fs mig_of=%d halo_of=%d" % (
+                i, step_times[-1], mo, ho), flush=True)
+            assert mo == 0 and ho == 0
+            json.dump(rec, open(out, "w"), indent=1)
+        gp = sharded.gather_particles(state)
+        x = np.asarray(gp.x)
+        rec["finite"] = bool(np.isfinite(x).all())
+        print("finite:", rec["finite"], flush=True)
+    except Exception as e:  # anything catchable is recorded honestly
+        rec["error"] = repr(e)[:300]
+    json.dump(rec, open(out, "w"), indent=1)
+    print("wrote", out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
