@@ -87,9 +87,13 @@ class BlockCtx(NamedTuple):
     #                         RELATIVE to its span slab's 128-aligned
     #                         base, pre-clipped to [0, SPAN-SL] (kills
     #                         the subtract+clip chain per window-sheet)
-    span_tab: jnp.ndarray   # i32[n_groups, 2(B+2), 2] per-ix-col span
-    #                         [lo, hi); first B+2 rows own group, rest the
-    #                         next group (for the cross-group DMA prefetch)
+    span_tab: jnp.ndarray   # i32[n_groups, 2(B+2), 3] per-ix-col span
+    #                         [lo, hi, n_chunks); first B+2 rows own
+    #                         group, rest the next group (for the
+    #                         cross-group DMA prefetch).  n_chunks =
+    #                         ceil((hi - align(lo))/dma_chunk): the
+    #                         chunked span DMA ships only that many
+    #                         CH-lane chunks of the static SPAN slab
     ctr_tab: jnp.ndarray    # i32[n_groups, B*B, nbz+1] center-row batch
     #                         starts
     col_tab: jnp.ndarray    # i32[n_groups, 2B, 2] own column [lo, hi)
@@ -158,6 +162,21 @@ class BlockEngine:
         self.half = int(getattr(params, "blocks_col_cap", 0) or 2048)
         self.reduce = getattr(params, "blocks_reduce", "sum") or "sum"
         assert self.reduce in ("sum", "dot", "decomp", "ones"), self.reduce
+        # chunked span DMA (round 4): the span scratch stays statically
+        # SPAN-sized, but each (group, column) ships only
+        # ceil(actual_len/chunk) chunks — j222 measured cap-sized slabs
+        # shipping 2.2x (dragon) / 5.1x (DFSPH caps) the occupied bytes.
+        # Lanes past the shipped length hold stale/uninitialized VMEM;
+        # every consumer masks them with SELECTS (countdown validity row,
+        # iota<cnt center masks, writeback row counts), which do not
+        # propagate NaNs — except the "dot"/"decomp" reduce modes, whose
+        # dot_general contracts the raw candidate tile: those force the
+        # full-slab path.
+        self.dma_chunk = int(getattr(params, "blocks_dma_chunk", 0)
+                             or 1024)
+        assert self.dma_chunk % 128 == 0, self.dma_chunk
+        self.chunked = (self.dma_chunk < self.span
+                        and self.reduce in ("sum", "ones"))
         self.reduce_prec = getattr(params, "blocks_reduce_prec",
                                    "highest") or "highest"
         self.tile = getattr(params, "blocks_tile", "half") or "half"
@@ -367,6 +386,16 @@ class BlockEngine:
             return jnp.concatenate(
                 [tab[1:], jnp.zeros_like(tab[:1])], axis=0)
 
+        # chunk counts for the chunked span DMA: ship ceil((hi-base)/CH)
+        # chunks from each column's 128-aligned slab base (base slack
+        # <= 127 lanes).  Computed after compaction so the doubled rows
+        # below carry the compacted successor's counts for the prefetch.
+        ch = self.dma_chunk
+        s_lo, s_hi = span_tab[:, :, 0], span_tab[:, :, 1]
+        nch = jnp.clip(-(-(s_hi - (s_lo // 128) * 128) // ch),
+                       0, -(-self.span // ch)).astype(jnp.int32)
+        span_tab = jnp.concatenate([span_tab, nch[:, :, None]], axis=2)
+
         span2 = jnp.concatenate([span_tab, _nxt(span_tab)], axis=1)
         col2 = jnp.concatenate([col_tab, _nxt(col_tab)], axis=1)
 
@@ -497,7 +526,7 @@ class BlockEngine:
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, NW, nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2 * (B + 2), 2), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 2 * (B + 2), 3), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, B * BY, nbz + 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -579,6 +608,32 @@ class BlockEngine:
                 lanes_hbm.at[:, pl.ds(base, SPAN)],
                 win_scr.at[b, c], sems.at[c])
 
+        CH = self.dma_chunk
+
+        def span_io(b, base, row, c, wait):
+            """Start (or wait) one column's span DMA chain.  Chunked mode
+            ships ceil(len/CH) CH-lane chunks instead of the full SPAN
+            slab (j222: 2.2-5.1x byte cut); the start side (prefetching
+            instance g-1, doubled-table rows B+2+c) and the wait side
+            (instance g, rows c) read the SAME table values, so the
+            descriptor counts agree.  Lanes past the shipped length are
+            stale scratch — every consumer masks them with selects."""
+            if not self.chunked:
+                cp = span_copy(b, base, c)
+                (cp.wait if wait else cp.start)()
+                return
+
+            def body(i, _):
+                off = jnp.minimum(i * CH, jnp.int32(SPAN - CH))
+                off = pl.multiple_of(off, 128)
+                cp = pltpu.make_async_copy(
+                    lanes_hbm.at[:, pl.ds(base + off, CH)],
+                    win_scr.at[b, c, :, pl.ds(off, CH)], sems.at[c])
+                (cp.wait if wait else cp.start)()
+                return 0
+
+            jax.lax.fori_loop(0, span_ref[0, row, 2], body, 0)
+
         NBZ8 = self.nbz8
 
         def plane_copy(b, g):
@@ -594,21 +649,21 @@ class BlockEngine:
         @pl.when((i_g == 0) & (grp_len > 0))
         def _seed():
             for c in (() if ABLATE == "nodma" else range(B + 2)):
-                span_copy(buf, bases[c], c).start()
+                span_io(buf, bases[c], c, c, wait=False)
             if ABLATE != "nodma":
                 plane_copy(buf, i_g).start()
 
         @pl.when(grp_len > 0)
         def _wait():
             for c in (() if ABLATE == "nodma" else range(B + 2)):
-                span_copy(buf, bases[c], c).wait()
+                span_io(buf, bases[c], c, c, wait=True)
             if ABLATE != "nodma":
                 plane_copy(buf, i_g).wait()
 
         @pl.when((nxt_len > 0) & (i_g + 1 < self.gcap))
         def _prefetch():
             for c in (() if ABLATE == "nodma" else range(B + 2)):
-                span_copy(nbuf, nbases[c], c).start()
+                span_io(nbuf, nbases[c], B + 2 + c, c, wait=False)
             if ABLATE != "nodma":
                 plane_copy(nbuf, jnp.minimum(
                     i_g + 1, jnp.int32(self.gcap - 1))).start()
@@ -773,6 +828,14 @@ class BlockEngine:
                             mask = ((cq_t[f_pad:f_pad + 1, :] > 0.5)
                                     & (d2 < h2)
                                     & (fi["gidx"] != fj["gidx"]))
+                            # masked rvec for the radial c*rvec products:
+                            # a masked coefficient times a RAW rvec still
+                            # propagates NaN/garbage from lanes past the
+                            # chunked span DMA's shipped length (0*NaN =
+                            # NaN); select here, once per tile, instead
+                            # of per output row
+                            rvm = tuple(jnp.where(mask, rv, 0.0)
+                                        for rv in rvec)
 
                             if mxu:
                                 # one rsqrt replaces sqrt + the term
@@ -801,7 +864,7 @@ class BlockEngine:
                                     if ncomp == 3 and mxu:      # radial
                                         cc = jnp.broadcast_to(cc, mask.shape)
                                         cc = jnp.where(mask, cc, 0.0)
-                                        for rv in rvec:
+                                        for rv in rvm:
                                             pieces.append(jnp.sum(
                                                 cc * rv, axis=1,
                                                 keepdims=True))
@@ -852,7 +915,7 @@ class BlockEngine:
                                         cm = jnp.where(
                                             mask, jnp.broadcast_to(
                                                 cc, mask.shape), 0.0)
-                                        for rv in rvec:
+                                        for rv in rvm:
                                             rows_l.append(cm * rv)
                                         post.append((o, "sum3"))
                                     else:

@@ -274,6 +274,8 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
                 min(max(col_need, 512), int(2048 * browsy * vf)))),
             blocks_groups_cap=int(config.get_tpu_cfg(
                 "blocksGroupsCap", groups_need)),
+            blocks_dma_chunk=int(config.get_tpu_cfg(
+                "blocksDmaChunk", params.blocks_dma_chunk)),
             slot_layers=int(config.get_tpu_cfg(
                 "slotLayers", min(max(layer_need, 2), 8))))
 

@@ -152,6 +152,15 @@ class SimParams:
     # reach ~864 particles as fluid crosses cell planes, so 4-row spans
     # reach ~3456; 3072 silently clipped them at the old threshold)
     blocks_col_cap: int = 2048    # particles per own ix-column (out half)
+    blocks_dma_chunk: int = 1024  # span-DMA chunk lanes (multiple of 128;
+    #                               >= span_cap disables chunking).  The
+    #                               span slab is statically cap-sized but
+    #                               a group ships only ceil(len/chunk)
+    #                               chunks of its ACTUAL span — measured
+    #                               j222: cap-sized slabs ship 2.2x
+    #                               (dragon) / 5.1x (DFSPH caps) the
+    #                               occupied bytes, while p90 span < 1024
+    #                               keeps the descriptor count ~flat
     blocks_reduce: str = "sum"    # pair-sum reduction: "sum" (VPU roll
     #                               tree), "dot" (MXU dot_general of the
     #                               masked per-pair products against the

@@ -66,6 +66,23 @@ def test_block_solver_equivalence_block_rows(rows, rows_y, tile, rng):
 
 
 @pytest.mark.parametrize("method", [0, 4])
+def test_block_solver_equivalence_chunked_dma(method, rng):
+    """Chunked span DMA (round 4): dma_chunk=128 forces every occupied
+    column through multi-chunk start/wait chains (clumped layout: spans
+    far exceed 128 lanes).  The shipped-prefix must carry exactly the
+    lanes the full-slab DMA did; lanes past a group's length are stale
+    scratch the masks must hide."""
+    d = small_scene_dict(method=method)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    x = _clumped_positions(rng, params, particles)
+    sg = _run(method, "gather", 2, perturb=x)
+    sp = _run(method, "pallas_blocks_interpret", 2, perturb=x,
+              blocks_groups_cap=0, blocks_dma_chunk=128)
+    _assert_states_close(sg, sp)
+
+
+@pytest.mark.parametrize("method", [0, 4])
 def test_block_solver_equivalence_clumped(method, rng):
     """One step on an adversarial clumped layout: multi-sheet windows and
     multi-sheet center batches."""
