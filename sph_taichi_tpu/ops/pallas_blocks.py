@@ -162,20 +162,22 @@ class BlockEngine:
         self.half = int(getattr(params, "blocks_col_cap", 0) or 2048)
         self.reduce = getattr(params, "blocks_reduce", "sum") or "sum"
         assert self.reduce in ("sum", "dot", "decomp", "ones"), self.reduce
-        # chunked span DMA (round 4): the span scratch stays statically
-        # SPAN-sized, but each (group, column) ships only
-        # ceil(actual_len/chunk) chunks — j222 measured cap-sized slabs
-        # shipping 2.2x (dragon) / 5.1x (DFSPH caps) the occupied bytes.
+        # chunked span DMA (round 4, OPT-IN, measured negative): the span
+        # scratch stays statically SPAN-sized, but each (group, column)
+        # ships only ceil(actual_len/chunk) chunks — j222 measured
+        # cap-sized slabs shipping 2.2x (dragon) / 5.1x (DFSPH caps) the
+        # occupied bytes.  Device A/B (j224/j225): dragon NEUTRAL, DFSPH
+        # 1.5x SLOWER — the floor is descriptor/issue bound and the
+        # per-chunk fori_loop adds scalar-pipe work.  Default 0 = off.
         # Lanes past the shipped length hold stale/uninitialized VMEM;
         # every consumer masks them with SELECTS (countdown validity row,
-        # iota<cnt center masks, writeback row counts), which do not
-        # propagate NaNs — except the "dot"/"decomp" reduce modes, whose
-        # dot_general contracts the raw candidate tile: those force the
-        # full-slab path.
-        self.dma_chunk = int(getattr(params, "blocks_dma_chunk", 0)
-                             or 1024)
+        # iota<cnt center masks, masked-rvec products, writeback row
+        # counts), which do not propagate NaNs — except the "dot"/
+        # "decomp" reduce modes, whose dot_general contracts the raw
+        # candidate tile: those force the full-slab path.
+        self.dma_chunk = int(getattr(params, "blocks_dma_chunk", 0) or 0)
         assert self.dma_chunk % 128 == 0, self.dma_chunk
-        self.chunked = (self.dma_chunk < self.span
+        self.chunked = (0 < self.dma_chunk < self.span
                         and self.reduce in ("sum", "ones"))
         self.reduce_prec = getattr(params, "blocks_reduce_prec",
                                    "highest") or "highest"
@@ -390,7 +392,7 @@ class BlockEngine:
         # chunks from each column's 128-aligned slab base (base slack
         # <= 127 lanes).  Computed after compaction so the doubled rows
         # below carry the compacted successor's counts for the prefetch.
-        ch = self.dma_chunk
+        ch = self.dma_chunk if self.chunked else self.span
         s_lo, s_hi = span_tab[:, :, 0], span_tab[:, :, 1]
         nch = jnp.clip(-(-(s_hi - (s_lo // 128) * 128) // ch),
                        0, -(-self.span // ch)).astype(jnp.int32)

@@ -152,15 +152,22 @@ class SimParams:
     # reach ~864 particles as fluid crosses cell planes, so 4-row spans
     # reach ~3456; 3072 silently clipped them at the old threshold)
     blocks_col_cap: int = 2048    # particles per own ix-column (out half)
-    blocks_dma_chunk: int = 1024  # span-DMA chunk lanes (multiple of 128;
-    #                               >= span_cap disables chunking).  The
-    #                               span slab is statically cap-sized but
-    #                               a group ships only ceil(len/chunk)
-    #                               chunks of its ACTUAL span — measured
-    #                               j222: cap-sized slabs ship 2.2x
-    #                               (dragon) / 5.1x (DFSPH caps) the
-    #                               occupied bytes, while p90 span < 1024
-    #                               keeps the descriptor count ~flat
+    blocks_dma_chunk: int = 0     # span-DMA chunk lanes (multiple of 128;
+    #                               0 or >= span_cap disables chunking).
+    #                               When set, a group ships only
+    #                               ceil(len/chunk) chunks of its ACTUAL
+    #                               span instead of the cap-sized slab.
+    #                               DEFAULT OFF — measured negative (j224/
+    #                               j225, device): byte savings (0.46x
+    #                               dragon, 0.19x DFSPH, j222) are
+    #                               invisible because the span DMA floor
+    #                               is descriptor/issue bound, not byte
+    #                               bound; the per-chunk fori_loop adds
+    #                               scalar-pipe work where the kernel is
+    #                               already scalar-bound (dragon NEUTRAL
+    #                               39.6-40.7 at chunk 1024/512; DFSPH
+    #                               510-617 vs 354-371 ms/step SLOWER at
+    #                               chunk 1024, same 4+1 iters)
     blocks_reduce: str = "sum"    # pair-sum reduction: "sum" (VPU roll
     #                               tree), "dot" (MXU dot_general of the
     #                               masked per-pair products against the
