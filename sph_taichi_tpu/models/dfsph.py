@@ -315,19 +315,30 @@ class DFSPHSolver(SPHBase):
             coef_solid = jnp.where(
                 solid_j & (jnp.abs(k_i) > eps),
                 k_i * fj["m_V"] * gradw_s, 0.0)
-            outs = {"dv": coef_fluid + coef_solid}
+            dv_coef = coef_fluid + coef_solid
             if with_reaction:
-                outs["react"] = jnp.where(
+                # rigid reaction (gather form of DFSPH.py:388-389).  The
+                # dv sum is consumed only by FLUID centers (v update is
+                # fluid-gated) and the reaction only by dynamic-rigid
+                # centers — mutually exclusive per center, so both ride
+                # ONE radial output selected by center material (3 lane
+                # reduces + 3 writeback lanes instead of 6).  The
+                # density quotient is restructured as
+                # (k_j*rho_j)*gradw * (m_V_i/rho_i): the divide becomes
+                # a per-center COLUMN op instead of per candidate lane
+                # (<=1 ulp shift, same class as the rsqrt reduction).
+                react = jnp.where(
                     fluid_j & (jnp.abs(k_j) > eps),
-                    k_j * fi["m_V"] * gradw_s * (fj["density"] / fi["density"]),
-                    0.0)
-            return outs
+                    (k_j * fj["density"]) * gradw_s,
+                    0.0) * (fi["m_V"] / fi["density"])
+                dv_coef = jnp.where(fi["material"] == MATERIAL_FLUID,
+                                    dv_coef, react)
+            return {"dv": dv_coef}
 
         fields = {"material": p.material, "m_V": p.m_V, "kappa": kappa}
         specs = {"dv": "radial"}
         if with_reaction:
             fields["density"] = p.density
-            specs["react"] = "radial"
 
         if v is not None:
             for k in range(3):
@@ -346,8 +357,10 @@ class DFSPHSolver(SPHBase):
                 if with_reaction:
                     dynr = ((fi["material"] == float(MATERIAL_SOLID))
                             & (fi["is_dyn"] > 0.5))
+                    # fused output: sums["dv"] on a dynamic-rigid center
+                    # IS the reaction sum (center-material select above)
                     res["acc"] = tuple(
-                        jnp.where(dynr, fi[f"a{k}"] + sums["react"][k],
+                        jnp.where(dynr, fi[f"a{k}"] + sums["dv"][k],
                                   fi[f"a{k}"]) for k in range(3))
                 return res
 
@@ -375,8 +388,12 @@ class DFSPHSolver(SPHBase):
             fields = lanes
         out = self.engine.traverse(ectx(ctx), p.x, fields, term, specs,
                                    mode="mxu")
-        dv = dt * jnp.stack(out["dv"], axis=1)
-        react = jnp.stack(out["react"], axis=1) if with_reaction else None
+        raw = jnp.stack(out["dv"], axis=1)
+        # fused output: fluid rows carry the dv sum (scaled by dt), solid
+        # rows the reaction sum (NOT dt-scaled); consumers apply disjoint
+        # masks, so handing back the same array twice is exact.
+        dv = dt * raw
+        react = raw if with_reaction else None
         return dv, react
 
     # ------------------------------------------------------------------

@@ -127,22 +127,30 @@ class WCSPHSolver(SPHBase):
                 fluid_j | solid_j,
                 -rho0 * fj["m_V"] * (fi["dpi"] + dpj) * gradw_s, 0.0)
 
-            res = {"a": st_coef + visc_coef + press_coef}
+            a_coef = st_coef + visc_coef + press_coef
             if want_react:
-                # reaction on dynamic-rigid centers (WCSPH.py:67-68 as gather)
+                # reaction on dynamic-rigid centers (WCSPH.py:67-68 as
+                # gather).  The fluid sum and the reaction sum are
+                # MUTUALLY EXCLUSIVE per center (fluid centers consume
+                # "a", dynamic-rigid centers consume the reaction; every
+                # other material is zeroed downstream), so both ride ONE
+                # radial output selected by center material — j231: 3
+                # lane-reduce trees + 3 writeback lanes instead of 6,
+                # consumed values bit-identical.
                 dpi_k = fj["dpi"] + fj["p_r02"]
-                res["react"] = jnp.where(
+                react = jnp.where(
                     fluid_j,
                     -(rho0 * fi["m_V"] * dpi_k) * fi["rr0"] * gradw_s,
                     0.0)
-            return res
+                a_coef = jnp.where(fi["material"] == MATERIAL_FLUID,
+                                   a_coef, react)
+            return {"a": a_coef}
 
         specs = {"a": "radial"}
         fields = {"material": p.material, "m": p.m, "m_V": p.m_V,
                   "dpi": dpi_f, "p_r02": p_r02, "m_nc": m_nc,
                   "v0": p.v[:, 0], "v1": p.v[:, 1], "v2": p.v[:, 2]}
         if want_react:
-            specs["react"] = "radial"
             fields["rr0"] = rho0 / p.density
 
         epilogue = None
@@ -167,8 +175,11 @@ class WCSPHSolver(SPHBase):
                     # acc selection — same chain as the unfused path below
                     a = gl[k] + jnp.where(fluid, sums["a"][k], 0.0)
                     if want_react:
+                        # fused output: sums["a"] on a solid center IS
+                        # the reaction sum (center-material select in
+                        # the term fn)
                         a = jnp.where(solid & dynm,
-                                      gl[k] + sums["react"][k], a)
+                                      gl[k] + sums["a"][k], a)
                     a = jnp.where(solid & ~dynm, 0.0, a)
                     a = jnp.where(padm, 0.0, a)
                     # symplectic Euler (WCSPH.py:143-149)
@@ -222,9 +233,10 @@ class WCSPHSolver(SPHBase):
 
         acc = self.g[None, :] + jnp.where(p.is_fluid()[:, None], a_pair, 0.0)
         if want_react:
-            a_react = jnp.stack(out["react"], axis=1)
+            # fused output: a_pair on a dynamic-rigid center IS the
+            # reaction sum (center-material select in the term fn)
             acc = jnp.where(p.is_dynamic_rigid()[:, None],
-                            self.g[None, :] + a_react, acc)
+                            self.g[None, :] + a_pair, acc)
         acc = jnp.where(p.is_static_rigid()[:, None], 0.0, acc)
         acc = jnp.where((p.material == MATERIAL_PAD)[:, None], 0.0, acc)
         return p._replace(acc=acc)
