@@ -327,10 +327,17 @@ class DFSPHSolver(SPHBase):
                 # (k_j*rho_j)*gradw * (m_V_i/rho_i): the divide becomes
                 # a per-center COLUMN op instead of per candidate lane
                 # (<=1 ulp shift, same class as the rsqrt reduction).
+                # denominator clamp (ADVICE r4): pad rows and the blocks
+                # kernel's invalid-center sentinel carry density == 0, so
+                # the bare per-center quotient is 0/0 = NaN, and the
+                # where-masked lane value times NaN is NaN again.  All
+                # current consumers re-mask with selects, but a clamped
+                # divisor keeps the lane exactly 0 for any future
+                # multiply-masking consumer.
                 react = jnp.where(
                     fluid_j & (jnp.abs(k_j) > eps),
                     (k_j * fj["density"]) * gradw_s,
-                    0.0) * (fi["m_V"] / fi["density"])
+                    0.0) * (fi["m_V"] / jnp.maximum(fi["density"], 1e-30))
                 dv_coef = jnp.where(fi["material"] == MATERIAL_FLUID,
                                     dv_coef, react)
             return {"dv": dv_coef}

@@ -362,7 +362,10 @@ class BlockEngine:
         # first, gather every table by that order, truncate to the
         # static blocks_groups_cap.  Tail rows beyond the occupied count
         # are real (empty) groups — natural zero-work sentinels.  An
-        # occupied group beyond the cap means dropped pairs: fatal flag.
+        # occupied group beyond the cap means its centers' output rows
+        # are never written at all (uninitialized HBM, not just dropped
+        # pairs): fatal flag + NaN poison on the returned columns
+        # (see traverse).
         occ_g = jnp.any(col_tab[:, :, 1] > col_tab[:, :, 0], axis=1)
         if self.gcap < self.n_groups:
             order = jnp.argsort(jnp.logical_not(occ_g),
@@ -565,13 +568,29 @@ class BlockEngine:
         # with an epilogue the returned values live in lanes [64, 64+W)
         # (pair sums stay in [0, 64) so the in-place transform is
         # idempotent on the overlapping exact-tail chunk)
+        #
+        # compaction-overflow poison (ADVICE r4): when occupied groups
+        # exceed the cap, the dropped groups' center rows are never
+        # written by any instance — their output rows are UNINITIALIZED
+        # HBM, not merely "missing pairs".  Scale every returned column
+        # by NaN in that case so direct step() callers (bench loops,
+        # ShardedSolver) fail loudly on their finite checks instead of
+        # proceeding with garbage; Simulation.run_frame discards the
+        # poisoned state and re-runs the frame uncompacted.  Per-column
+        # (n,) multiply — fuses into the consumers, never touches the
+        # (n, 128) buffer.
+        poison = jnp.float32(1.0)
+        if self.gcap < self.n_groups:
+            poison = jnp.where(ctx.diag["group_compact_overflow"],
+                               jnp.float32(jnp.nan), jnp.float32(1.0))
         outs = {}
         pos = 64 if epilogue is not None else 0
         for o, ncomp in (epi_cols if epilogue is not None else out_cols):
             if ncomp == 3:
-                outs[o] = (out[:n, pos], out[:n, pos + 1], out[:n, pos + 2])
+                outs[o] = (out[:n, pos] * poison, out[:n, pos + 1] * poison,
+                           out[:n, pos + 2] * poison)
             else:
-                outs[o] = out[:n, pos]
+                outs[o] = out[:n, pos] * poison
             pos += ncomp
         return outs
 

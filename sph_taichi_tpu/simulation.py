@@ -63,6 +63,13 @@ class Simulation:
         self.camera = exporters.Camera()
 
     # ------------------------------------------------------------------
+    def _compaction_active(self):
+        """True when the solver's engine reads blocks_groups_cap (i.e. a
+        group_compact_overflow metric can exist at all)."""
+        return (getattr(self.params, "blocks_groups_cap", 0)
+                and "group_compact_overflow"
+                in getattr(self.solver.engine, "diag_keys", ()))
+
     def run_frame(self):
         """substeps x solver.step, as one compiled program."""
         if self._frame_fn is None:
@@ -70,9 +77,12 @@ class Simulation:
         # kept for the compaction-overflow re-run below; frame_fn DONATES
         # its input buffers, so a reference alone would be deleted — take
         # a device copy (HBM-bandwidth cheap: ~0.1 ms at 1.7M particles),
-        # only while compaction is active
+        # only while compaction can actually overflow: scene.py sets the
+        # cap for ALL 3D scenes, but only the blocks engine consumes it
+        # (ADVICE r4 — gather/CPU runs must not pay a full-state copy and
+        # doubled residency for a recovery that can never trigger)
         entry_state = None
-        if getattr(self.params, "blocks_groups_cap", 0):
+        if self._compaction_active():
             import jax
             entry_state = jax.tree.map(lambda a: a.copy(), self.state)
         self.state, self.metrics = self._frame_fn(self.state)
@@ -91,8 +101,7 @@ class Simulation:
         # truncated tables.  Rebuilding the solver without compaction
         # and re-running from the entry state keeps physics exact at the
         # cost of one recompile (the state pytree is solver-independent).
-        if "group_compact_overflow" in fired \
-                and getattr(self.params, "blocks_groups_cap", 0):
+        if "group_compact_overflow" in fired and self._compaction_active():
             import dataclasses
             import warnings
             warnings.warn(
