@@ -176,7 +176,9 @@ def main():
                     help="bench a single scene instead of the default pair")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--armadillo-steps", type=int, default=40)
+    ap.add_argument("--dfsph-steps", type=int, default=20)
     ap.add_argument("--skip-armadillo", action="store_true")
+    ap.add_argument("--skip-dfsph", action="store_true")
     ap.add_argument("--backend", default=None)
     args = ap.parse_args()
 
@@ -283,6 +285,40 @@ def main():
             })
         except Exception as e:  # armadillo failure must not hide the headline
             result["armadillo_error"] = repr(e)[:200]
+        finally:
+            signal.alarm(0)
+
+    if not args.skip_dfsph:
+        # second solver headline (VERDICT r4 item 4): the reference's
+        # DFSPH showcase is the same dragon scene at 10x dt
+        # (dragon_bath_dfsph.json timeStepSize 4e-3 vs 4e-4,
+        # README.md:9-11) — record its steps/s every round so the
+        # solver that is 40% of the reference's code has a driver-
+        # tracked number, not just devjob notes.  No published FPS
+        # baseline exists for it; `dfsph_sim_time_rate` (simulated
+        # seconds per wall second, = fps * dt) is the cross-solver
+        # comparable: WCSPH dragon at `value` steps/s advances
+        # value*4e-4 sim-s/s.
+        import signal
+
+        def _timeout_d(signum, frame):
+            raise TimeoutError("dfsph bench exceeded watchdog")
+
+        signal.signal(signal.SIGALRM, _timeout_d)
+        signal.alarm(int(os.environ.get("BENCH_DFSPH_BUDGET_S", "1800")))
+        try:
+            dfps, dn, dfinite, _, doverflow = bench_scene(
+                "data/scenes/dragon_bath_dfsph.json", args.dfsph_steps,
+                backend=args.backend)
+            result.update({
+                "dfsph_dragon_fps": round(dfps, 2),
+                "dfsph_dragon_dt": 4e-3,
+                "dfsph_sim_time_rate": round(dfps * 4e-3, 4),
+                "dfsph_finite": dfinite,
+                "dfsph_overflow": doverflow,
+            })
+        except Exception as e:  # DFSPH failure must not hide the headline
+            result["dfsph_error"] = repr(e)[:200]
         finally:
             signal.alarm(0)
 

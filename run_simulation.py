@@ -23,12 +23,11 @@ def main():
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--backend", default=None,
                         choices=[None, "auto", "gather", "pallas_blocks",
-                                 "pallas_slots", "pallas"],
+                                 "pallas_slots"],
                         help="pair-traversal engine override.  'auto' "
                         "selects pallas_blocks (v3, production) on TPU; "
-                        "'pallas' is the retired v2 row engine that "
-                        "MIS-SUMS on real TPU at high occupancy (kept "
-                        "for A/B only; make_engine warns)")
+                        "'pallas_slots' is the retired v4 engine "
+                        "(correct but 5.7x slower, A/B only)")
     parser.add_argument("--checkpoint_interval", type=int, default=0)
     parser.add_argument("--resume", default="", help="checkpoint to resume")
     parser.add_argument("--quiet", action="store_true")

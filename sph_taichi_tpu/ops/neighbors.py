@@ -44,7 +44,7 @@ class NeighborList(NamedTuple):
     @property
     def diag(self):
         """Capacity diagnostics, surfaced into step metrics by
-        models.base.bin_and_sort (same contract as PallasEngine's RowCtx).
+        models.base.bin_and_sort (same contract as BlockEngine's BlockCtx).
         neighbor_overflow != 0 means pair contributions were dropped —
         physics is WRONG; raise params.neighbor_cap."""
         k = self.idx.shape[1]

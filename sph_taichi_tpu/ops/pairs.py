@@ -15,11 +15,11 @@ Two engines implement the same contract:
   evaluates terms on (N, K) gathered slots.  Irregular gathers are fast on
   CPU, so this is the portable/test backend (and the oracle the Pallas
   engine is validated against).
-- PallasEngine (ops/pallas_pairs.py): measured TPU behavior shows random
-  gathers/scatters run ~300x slower than structured ops, so the TPU
-  backend never gathers: it streams whole grid *rows* (contiguous z-runs
-  of cells in the sorted particle array) through VMEM with async DMA and
-  evaluates terms on windowed all-pair tiles.
+- BlockEngine (ops/pallas_blocks.py): the TPU production engine.
+  Measured TPU behavior shows random gathers/scatters run ~300x slower
+  than structured ops, so it never gathers: it DMA-streams contiguous
+  spans of the cell-sorted particle array through VMEM and evaluates
+  terms on windowed all-pair tiles (see its module docstring).
 
 Term-function contract (shared by both engines):
 
@@ -181,38 +181,34 @@ def make_engine(params):
     backend = params.backend
     if backend == "auto":
         # pallas_blocks (v3) is the production TPU engine: measured
-        # bit-exact vs the gather oracle ON REAL TPU at occupancy 58 with
-        # deep multi-sheet windows, while the v2 row engine ("pallas")
-        # mis-sums on device at high occupancy under BOTH tuned schedules
-        # (interpret mode is exact -> device-only lowering issue; see
-        # docs/DESIGN.md round-3 notes).  v2 remains opt-in for A/B runs.
+        # bit-exact vs the gather oracle ON REAL TPU at occupancy 58
+        # with deep multi-sheet windows (and parity-probed every bench
+        # run, bench.py device_parity_probe).
         backend = "pallas_blocks" if jax.default_backend() == "tpu" \
             else "gather"
-    if backend == "pallas":
-        from sph_taichi_tpu.ops.pallas_pairs import PallasEngine
-        if jax.default_backend() == "tpu":
-            import warnings
-            warnings.warn(
-                "backend='pallas' selects the RETIRED v2 row engine, "
-                "which mis-sums pair contributions on real TPU at high "
-                "cell occupancy (densities up to 1.45x off the oracle, "
-                "no capacity flag — docs/DESIGN.md round 3).  It is kept "
-                "only for A/B experiments; use 'pallas_blocks' (or "
-                "'auto') for correct device results.", stacklevel=2)
-        return PallasEngine(params)
-    if backend == "pallas_interpret":  # CPU validation of the TPU kernel
-        from sph_taichi_tpu.ops.pallas_pairs import PallasEngine
-        return PallasEngine(params, interpret=True)
+    if backend in ("pallas", "pallas_interpret"):
+        # v2 row engine: DELETED in round 5.  It mis-summed pair
+        # contributions on real TPU at high cell occupancy (densities up
+        # to 1.45x off the oracle with no capacity flag; interpret mode
+        # was exact — a device-only Mosaic lowering issue never root-
+        # caused).  History and measurements: docs/DESIGN.md round 3.
+        raise ValueError(
+            "backend='pallas' (the v2 row engine) was removed: it "
+            "produced silently wrong sums on real TPU.  Use "
+            "'pallas_blocks' (production) or 'auto'.")
     if backend == "pallas_blocks":     # v3 block engine (round 3)
         from sph_taichi_tpu.ops.pallas_blocks import BlockEngine
         return BlockEngine(params)
     if backend == "pallas_blocks_interpret":
         from sph_taichi_tpu.ops.pallas_blocks import BlockEngine
         return BlockEngine(params, interpret=True)
-    if backend == "pallas_slots":      # v4 slot-dense engine (round 3)
-        from sph_taichi_tpu.ops.pallas_slots import SlotEngine
+    if backend == "pallas_slots":
+        # v4 slot-dense engine: correct but measured 5.7x SLOWER than
+        # blocks end-to-end on device (j84); retired, kept selectable
+        # for A/B runs only.
+        from sph_taichi_tpu.ops.retired.pallas_slots import SlotEngine
         return SlotEngine(params)
     if backend == "pallas_slots_interpret":
-        from sph_taichi_tpu.ops.pallas_slots import SlotEngine
+        from sph_taichi_tpu.ops.retired.pallas_slots import SlotEngine
         return SlotEngine(params, interpret=True)
     return GatherEngine(params)

@@ -552,7 +552,7 @@ def _metric_specs(self, state):
     base = {"rigid": rigid, "owned_particles_max": P(),
             "migration_overflow": P(), "halo_overflow": P(),
             "max_cell_occupancy": P(), "max_velocity": P()}
-    # engine diagnostics (PallasEngine et al. attach a `diag` dict to ctx)
+    # engine diagnostics (BlockEngine et al. attach a `diag` dict to ctx)
     for k in getattr(self.solver.engine, "diag_keys", ()):
         base[k] = P()
     # IISPH (method 2) returns pressure metrics; DFSPH (4) adds the

@@ -17,7 +17,7 @@ import pytest
 from sph_taichi_tpu import SimConfig, build_scene, build_solver
 from conftest import small_scene_dict
 
-from test_pallas import (_assert_states_close, _clumped_positions)
+from conftest import _assert_states_close, _clumped_positions
 
 
 def _run(method, backend, n_steps, scene=None, perturb=None, **over):

@@ -14,7 +14,7 @@ import pytest
 from sph_taichi_tpu import SimConfig, build_scene, build_solver
 from conftest import small_scene_dict
 
-from test_pallas import _assert_states_close, _clumped_positions
+from conftest import _assert_states_close, _clumped_positions
 
 # v4 slots is a measured NEGATIVE engine (5.7x slower end-to-end than
 # blocks on device, j84) kept opt-in for documentation; its interpret
