@@ -1,6 +1,7 @@
 """Pallas TPU pair-traversal engine v3: 2x2-row blocks, exact windows.
 
-Round-3 redesign of the v2 row-streaming kernel (ops/pallas_pairs.py),
+Round-3 redesign of the v2 row-streaming kernel (deleted round 5;
+history in docs/DESIGN.md),
 driven by the measured round-2 cost structure: the v2 pass loop runs at
 ~full VPU rate on its padded lanes, so the remaining lever is *padding*,
 not issue overhead.  v2 evaluates ~1152 candidate lanes per center
@@ -31,7 +32,7 @@ DMAs and VMEM vector loads are 128-aligned (aligned slabs + pltpu.roll),
 span DMAs move full-lane-width (f_pad, SPAN) slabs, center slices use
 dynamic *sublane* offsets (alignment-free).
 
-Same ``traverse`` contract as GatherEngine / PallasEngine; validated by
+Same ``traverse`` contract as GatherEngine; validated by
 tests/test_pallas_blocks.py in interpret mode against the gather oracle.
 In mxu mode the pair geometry (d2, pair dots, radial outputs) is
 computed directly from rvec — unlike v2 there is no centered-matmul
@@ -68,40 +69,55 @@ CSL = 16          # center sublanes per own row per batch (Z*8 at Z=2)
 # device.  Never set in production.
 ABLATE = ""
 
+# Trace-time switch for the compaction-overflow NaN poison on returned
+# columns (devserver A/B cost attribution only — NEVER disable in
+# production: without it, a tripped instance cap silently hands
+# uninitialized HBM to direct step() callers).
+POISON = True
+
 
 class BlockCtx(NamedTuple):
-    len_tab: jnp.ndarray    # i32[n_groups, NW, nbz] window lengths: the
-    #                         validity mask is a lane-iota < cnt compare
-    #                         (the rolled slab's lanes [0, cnt) ARE the
+    # n_inst = grid size (instance = G iy-adjacent groups; G = 1 reduces
+    # every shape to the round-4 per-group layout)
+    len_tab: jnp.ndarray    # i32[n_inst, G*NW, nbz] window lengths (rows
+    #                         m*NW+k = member m, window k): the validity
+    #                         mask is a lane-iota < cnt compare (the
+    #                         rolled slab's lanes [0, cnt) ARE the
     #                         window), replacing per-window f32 gidx
     #                         bound compares — scalar-pipe strength
     #                         reduction, the measured binding resource
-    cnt_plane: jnp.ndarray  # i32[n_groups, nbz, NW*WC] countdown rows:
-    #                         lane k*WC+l holds len_tab[g,k,t] - l, so
-    #                         the whole sheet's validity row is ONE
-    #                         vector compare (row > sh*WC) + one store
-    #                         instead of NW scalar-broadcast iota
-    #                         compares (window assembly measured
-    #                         issue-bound at ~27ns/window, j104)
-    loc_tab: jnp.ndarray    # i32[n_groups, NW, nbz] window start lane
-    #                         RELATIVE to its span slab's 128-aligned
-    #                         base, pre-clipped to [0, SPAN-SL] (kills
-    #                         the subtract+clip chain per window-sheet)
-    span_tab: jnp.ndarray   # i32[n_groups, 2(B+2), 3] per-ix-col span
-    #                         [lo, hi, n_chunks); first B+2 rows own
-    #                         group, rest the next group (for the
-    #                         cross-group DMA prefetch).  n_chunks =
-    #                         ceil((hi - align(lo))/dma_chunk): the
-    #                         chunked span DMA ships only that many
-    #                         CH-lane chunks of the static SPAN slab
-    ctr_tab: jnp.ndarray    # i32[n_groups, B*B, nbz+1] center-row batch
-    #                         starts
-    col_tab: jnp.ndarray    # i32[n_groups, 2B, 2] own column [lo, hi)
-    #                         (rows 0..B-1) + next group's (rows B..2B-1)
-    zrange: jnp.ndarray     # i32[n_groups, 1, 2] batch range [b0, b1)
-    mxt_tab: jnp.ndarray    # i32[n_groups, 2, nbz] per-batch max window len
-    #                         (row 0, clamped >=1) / max center count (row 1,
-    #                         unclamped: 0 lets the kernel skip the batch)
+    cnt_plane: jnp.ndarray  # i32[n_inst, G*nbz8, NW*WC] countdown rows
+    #                         (member-major): lane k*WC+l holds
+    #                         len_tab[i, m*NW+k, t] - l, so the whole
+    #                         sheet's validity row is ONE vector compare
+    #                         (row > sh*WC) + one store instead of NW
+    #                         scalar-broadcast iota compares (window
+    #                         assembly measured issue-bound at
+    #                         ~27ns/window, j104)
+    loc_tab: jnp.ndarray    # i32[n_inst, G*NW, nbz] window start lane
+    #                         RELATIVE to its instance-column union
+    #                         slab's 128-aligned base, pre-clipped to
+    #                         [0, SPAN-SL] (kills the subtract+clip
+    #                         chain per window-sheet)
+    span_tab: jnp.ndarray   # i32[n_inst, 2(B+2), 3] per-ix-col UNION
+    #                         span [lo, hi, n_chunks) over the G
+    #                         members; first B+2 rows own instance, rest
+    #                         the next (for the cross-instance DMA
+    #                         prefetch).  n_chunks = ceil((hi -
+    #                         align(lo))/dma_chunk): the chunked span
+    #                         DMA ships only that many CH-lane chunks of
+    #                         the static SPAN slab
+    ctr_tab: jnp.ndarray    # i32[n_inst, G*B*BY, nbz+1] center-row batch
+    #                         starts (member-major)
+    col_tab: jnp.ndarray    # i32[n_inst, 2B, 2] own column UNION
+    #                         [lo, hi) (rows 0..B-1) + next instance's
+    #                         (rows B..2B-1)
+    zrange: jnp.ndarray     # i32[n_inst, 1, 2G] per-member batch range
+    #                         [b0, b1) interleaved
+    mxt_tab: jnp.ndarray    # i32[n_inst, 2G, nbz] per-(member, batch) max
+    #                         window len (rows 2m, clamped >=1) / max
+    #                         center count (rows 2m+1, unclamped: 0 lets
+    #                         the kernel skip the batch)
     diag: dict
 
 
@@ -152,10 +168,18 @@ class BlockEngine:
         self.z = int(getattr(params, "blocks_z_batch", 0) or 2)
         self.nbz = -(-nz // self.z)
         self.nbz8 = -(-self.nbz // 8) * 8   # countdown-plane DMA sublane pad
-        # group-compaction capacity: kernel grid instances (0 = off —
-        # every group gets an instance, compaction is a no-op)
+        # G iy-adjacent groups per kernel instance (round 5): instance
+        # (a, bi) owns groups (a, bi*G .. bi*G+G-1).  Same ix range means
+        # each neighbor column's G member spans are ADJACENT rid ranges
+        # (iy-minor sorted order within an ix row) — their union is one
+        # contiguous HBM slice, shipped as ONE span DMA per column.
+        self.gi = int(getattr(params, "blocks_groups_per_inst", 0) or 1)
+        self.niy = -(-self.nby // self.gi)
+        self.n_inst = self.nbx * self.niy
+        # instance-compaction capacity: kernel grid size (0 = off —
+        # every instance gets a grid slot, compaction is a no-op)
         gcap = int(getattr(params, "blocks_groups_cap", 0) or 0)
-        self.gcap = min(gcap, self.n_groups) if gcap else self.n_groups
+        self.gcap = min(gcap, self.n_inst) if gcap else self.n_inst
         self.wc = int(getattr(params, "blocks_window_cap", 0) or 32)
         self.sl = -(-(self.wc + 128) // 128) * 128   # aligned roll slab
         self.span = int(getattr(params, "blocks_span_cap", 0) or 2048)
@@ -263,14 +287,6 @@ class BlockEngine:
         len_tab = (win_tab[:, :, 1::2] - win_tab[:, :, 0::2]) \
             .astype(jnp.int32)
 
-        span_cols = []
-        for d in range(B + 2):
-            glo = jnp.where(span_any[d], span_lo[d], 0)
-            ghi = jnp.where(span_any[d], span_hi[d], 0)
-            span_cols.append(jnp.stack([glo, ghi], axis=2))
-        span_tab = jnp.stack(span_cols, axis=2).astype(jnp.int32) \
-            .reshape(self.n_groups, B + 2, 2)
-
         # center rows (own BxBY): iy-major order — row r has ix column
         # c = r % B, iy row j = r // B, matching the half-tile split in
         # the kernel (centers with iy=j pair against the contiguous
@@ -306,30 +322,93 @@ class BlockEngine:
         b0 = jnp.minimum(zlo_all // z, nbz).astype(jnp.int32)
         b1 = jnp.minimum((zhi_all // z) + 1, nbz).astype(jnp.int32)
         b1 = jnp.maximum(b1, b0)
-        # 3D so the SMEM BlockSpec's trailing two dims equal the array's
-        # (Mosaic requires leading-dim-only blocking for SMEM tables)
-        zrange = jnp.stack([b0, b1], axis=2).astype(jnp.int32) \
-            .reshape(self.n_groups, 1, 2)
+        zr_g = jnp.stack([b0, b1], axis=2).astype(jnp.int32) \
+            .reshape(self.n_groups, 2)
 
-        # per-(window, batch) span-relative start lanes (scalar-pipe
-        # strength reduction: the in-kernel assembly loop was measured
-        # scalar-address bound — ~21 ms/step dragon, round 4 nomath/
-        # noasm ablations — so every op movable to prepare() moves here)
-        base_k = jnp.stack(
-            [(jnp.where(span_any[k % (B + 2)], span_lo[k % (B + 2)], 0)
-              // 128) * 128
-             for k in range(self.nw)], axis=2)      # (nbx, nby, NW)
-        wlo_4d = jnp.stack(win_rows, axis=2)[..., 0::2]  # (nbx,nby,NW,nbz)
-        loc_tab = jnp.clip(
-            wlo_4d - base_k[..., None], 0, self.span - self.sl) \
-            .astype(jnp.int32).reshape(self.n_groups, self.nw, nbz)
-
-        # diagnostics
-        span_len = span_tab[:, :, 1] - span_tab[:, :, 0]
+        # group-level diagnostics (window/batch granularity is unchanged
+        # by instance aggregation)
         win_len = win_tab[:, :, 1::2] - win_tab[:, :, 0::2]
-        colgrp_len = col_tab[:, :, 1] - col_tab[:, :, 0]
         batch_c = ctr_tab[:, :, 1:] - ctr_tab[:, :, :-1]
         cell_cnt = cell_starts[1:c + 1] - cell_starts[:c]
+
+        # per-batch max window length (clamped >= 1: sheet-loop bound) and
+        # max center count (unclamped: 0 -> the kernel skips the batch) —
+        # replaces 20 SMEM scalar reads + maxes per (group, batch) in-kernel
+        mxt_tab = jnp.stack(
+            [jnp.maximum(jnp.max(win_len, axis=1), 1),
+             jnp.max(batch_c, axis=1)], axis=1).astype(jnp.int32)
+
+        # ---- instance aggregation (round 5) ----
+        # Instance (a, bi) owns the G member groups (a, bi*G .. bi*G+G-1):
+        # same ix range, consecutive iy blocks.  Member m's neighbor
+        # column d covers iy rows [bi*G*BY + m*BY - 1, ... + BY], so the
+        # G member spans of one column are overlapping ADJACENT rid
+        # ranges — the union [min lo, max hi] is contiguous in the
+        # sorted particle array and ships as ONE DMA.  The static member
+        # map lets every per-group table be re-laid as (n_inst, G*rows,
+        # cols) with plain gathers; members past nby are zero rows
+        # (no centers, no windows).
+        G, niy, n_inst = self.gi, self.niy, self.n_inst
+
+        def gmem(tab, fill=0):
+            """(n_groups, ...) -> (n_inst, G, ...) member re-lay.  The
+            member map is a STATIC blocked reindex (instance (a, bi) owns
+            groups a*nby + bi*G + m), so this is a pad + reshape — never
+            a gather (XLA gathers measured ~ms-scale per table at dragon
+            grid sizes; pads/reshapes are layout-only)."""
+            t = tab.reshape((nbx, nby) + tab.shape[1:])
+            if niy * G > nby:
+                pw = ((0, 0), (0, niy * G - nby)) + \
+                    ((0, 0),) * (tab.ndim - 1)
+                t = jnp.pad(t, pw, constant_values=fill)
+            return t.reshape((n_inst, G) + tab.shape[1:])
+
+        # instance union spans per neighbor column (lo sentinel big on
+        # raw values so empty member columns drop out of the min)
+        inst_lo, inst_hi = [], []
+        for d in range(B + 2):
+            lo_m = gmem(span_lo[d].reshape(self.n_groups), fill=big)
+            hi_m = gmem(span_hi[d].reshape(self.n_groups), fill=0)
+            any_m = gmem(span_any[d].reshape(self.n_groups)
+                         .astype(jnp.int32), fill=0) > 0
+            any_i = jnp.any(any_m, axis=1)
+            inst_lo.append(jnp.where(any_i, jnp.min(lo_m, axis=1), 0))
+            inst_hi.append(jnp.where(any_i, jnp.max(hi_m, axis=1), 0))
+        span_tab = jnp.stack(
+            [jnp.stack([inst_lo[d], inst_hi[d]], axis=1)
+             for d in range(B + 2)], axis=1).astype(jnp.int32)
+
+        # member window tables: lengths ride through; start lanes are
+        # re-based onto the instance-column union slab (scalar-pipe
+        # strength reduction: everything movable to prepare() moves here)
+        len_i = gmem(len_tab).reshape(n_inst, G * self.nw, nbz)
+        wlo_g = jnp.stack(win_rows, axis=2)[..., 0::2] \
+            .reshape(self.n_groups, self.nw, nbz).astype(jnp.int32)
+        base_i = jnp.stack(
+            [(inst_lo[k % (B + 2)] // 128) * 128 for k in range(self.nw)],
+            axis=1)                                      # (n_inst, NW)
+        loc_i = jnp.clip(
+            gmem(wlo_g) - base_i[:, None, :, None],
+            0, self.span - self.sl) \
+            .astype(jnp.int32).reshape(n_inst, G * self.nw, nbz)
+
+        ctr_i = gmem(ctr_tab).reshape(n_inst, G * B * BY, nbz + 1)
+        mxt_i = gmem(mxt_tab).reshape(n_inst, 2 * G, nbz)
+        # 3D so the SMEM BlockSpec's trailing two dims equal the array's
+        # (Mosaic requires leading-dim-only blocking for SMEM tables)
+        zr_i = gmem(zr_g).reshape(n_inst, 1, 2 * G)
+
+        # instance own columns: member 0 is always statically valid and
+        # member ranges ascend with iy, so lo = member 0's lo and
+        # hi = max over members
+        colm = gmem(col_tab)                        # (n_inst, G, B, 2)
+        col_lo_i = colm[:, 0, :, 0]
+        col_hi_i = jnp.max(colm[:, :, :, 1], axis=1)
+        col_i = jnp.stack([col_lo_i, col_hi_i], axis=2).astype(jnp.int32)
+
+        # diagnostics (span/column at instance-union granularity)
+        span_len = span_tab[:, :, 1] - span_tab[:, :, 0]
+        colgrp_len = col_hi_i - col_lo_i
         diag = {
             "max_span_len": jnp.max(span_len),
             "max_window_len": jnp.max(win_len),
@@ -344,49 +423,45 @@ class BlockEngine:
             "group_overflow": jnp.max(colgrp_len) > self.half,
         }
 
-        # per-batch max window length (clamped >= 1: sheet-loop bound) and
-        # max center count (unclamped: 0 -> the kernel skips the batch) —
-        # replaces 20 SMEM scalar reads + maxes per (group, batch) in-kernel
-        mxt_tab = jnp.stack(
-            [jnp.maximum(jnp.max(win_len, axis=1), 1),
-             jnp.max(batch_c, axis=1)], axis=1).astype(jnp.int32)
-
-        # ---- group compaction (round 4) ----
+        # ---- instance compaction (round 4, at instance granularity) ----
         # Only ~30% of dragon's groups hold any own particles at t=0
         # (the fluid footprint covers a fraction of the domain's xy
-        # plane); empty groups skip all compute via the grp_len guard
+        # plane); empty instances skip all compute via the grp_len guard
         # but still pay per-instance setup (grid sequencing, SMEM scalar
         # reads, branch checks) — the measured per-instance floor.  The
-        # kernel reads everything through per-group tables, so shrinking
-        # the grid is pure table surgery: stable-sort occupied groups
-        # first, gather every table by that order, truncate to the
-        # static blocks_groups_cap.  Tail rows beyond the occupied count
-        # are real (empty) groups — natural zero-work sentinels.  An
-        # occupied group beyond the cap means its centers' output rows
-        # are never written at all (uninitialized HBM, not just dropped
-        # pairs): fatal flag + NaN poison on the returned columns
-        # (see traverse).
+        # kernel reads everything through per-instance tables, so
+        # shrinking the grid is pure table surgery: stable-sort occupied
+        # instances first, gather every table by that order, truncate to
+        # the static blocks_groups_cap.  Tail rows beyond the occupied
+        # count are real (empty) instances — natural zero-work
+        # sentinels.  An occupied instance beyond the cap means its
+        # centers' output rows are never written at all (uninitialized
+        # HBM, not just dropped pairs): fatal flag + NaN poison on the
+        # returned columns (see traverse).
         occ_g = jnp.any(col_tab[:, :, 1] > col_tab[:, :, 0], axis=1)
-        if self.gcap < self.n_groups:
-            order = jnp.argsort(jnp.logical_not(occ_g),
+        occ_i = jnp.any(gmem(occ_g.astype(jnp.int32)) > 0, axis=1)
+        if self.gcap < self.n_inst:
+            order = jnp.argsort(jnp.logical_not(occ_i),
                                 stable=True).astype(jnp.int32)
             sel = order[:self.gcap]
-            len_tab = len_tab[sel]
-            loc_tab = loc_tab[sel]
+            len_i = len_i[sel]
+            loc_i = loc_i[sel]
             span_tab = span_tab[sel]
-            ctr_tab = ctr_tab[sel]
-            col_tab = col_tab[sel]
-            zrange = zrange[sel]
-            mxt_tab = mxt_tab[sel]
-        n_occ = jnp.sum(occ_g.astype(jnp.int32))
+            ctr_i = ctr_i[sel]
+            col_i = col_i[sel]
+            zr_i = zr_i[sel]
+            mxt_i = mxt_i[sel]
+        n_occ = jnp.sum(occ_i.astype(jnp.int32))
         diag["group_compact_overflow"] = n_occ > self.gcap
-        # informational: how tight the compaction cap is (cap sizing aid)
+        # informational: how tight the compaction cap is (cap sizing
+        # aid; counts occupied INSTANCES — == groups when G == 1)
         diag["num_occupied_groups"] = n_occ
 
-        # doubled tables: rows for group i+1 let instance i prefetch the
-        # next group's span slabs while computing on its own (the kernel
-        # double-buffers win_scr; the last group prefetches nothing).
-        # Built AFTER compaction so "next" means the compacted successor.
+        # doubled tables: rows for instance i+1 let instance i prefetch
+        # the next instance's span slabs while computing on its own (the
+        # kernel double-buffers win_scr; the last instance prefetches
+        # nothing).  Built AFTER compaction so "next" means the
+        # compacted successor.
         def _nxt(tab):
             return jnp.concatenate(
                 [tab[1:], jnp.zeros_like(tab[:1])], axis=0)
@@ -402,25 +477,29 @@ class BlockEngine:
         span_tab = jnp.concatenate([span_tab, nch[:, :, None]], axis=2)
 
         span2 = jnp.concatenate([span_tab, _nxt(span_tab)], axis=1)
-        col2 = jnp.concatenate([col_tab, _nxt(col_tab)], axis=1)
+        col2 = jnp.concatenate([col_i, _nxt(col_i)], axis=1)
 
-        # countdown-mask plane (see BlockCtx.cnt_plane).  The batch dim
-        # is padded to a multiple of 8: the per-group DMA slices the
-        # plane's middle dim whole, and Mosaic requires tiled-memref
-        # slice shapes 8-aligned on the sublane dim (device compile
-        # error at nbz=25; interpret mode does not check this).  Built
-        # from the compacted len_tab (plane rows ride the kernel grid).
+        # countdown-mask plane (see BlockCtx.cnt_plane).  The per-member
+        # batch dim is padded to a multiple of 8: the per-instance DMA
+        # slices the plane's middle dim whole, and Mosaic requires
+        # tiled-memref slice shapes 8-aligned on the sublane dim (device
+        # compile error at nbz=25; interpret mode does not check this).
+        # Built from the compacted len table (plane rows ride the kernel
+        # grid); all G members' planes ship in the ONE instance DMA.
         li = jnp.arange(self.wc, dtype=jnp.int32)
         nbz8 = -(-nbz // 8) * 8
-        cnt_plane = (jnp.transpose(len_tab, (0, 2, 1))[:, :, :, None]
-                     - li).reshape(len_tab.shape[0], nbz,
-                                   self.nw * self.wc)
-        cnt_plane = jnp.pad(cnt_plane, ((0, 0), (0, nbz8 - nbz), (0, 0)))
+        ncap = len_i.shape[0]
+        cnt_plane = (jnp.transpose(
+            len_i.reshape(ncap, G, self.nw, nbz), (0, 1, 3, 2))[..., None]
+            - li).reshape(ncap, G, nbz, self.nw * self.wc)
+        cnt_plane = jnp.pad(cnt_plane,
+                            ((0, 0), (0, 0), (0, nbz8 - nbz), (0, 0))) \
+            .reshape(ncap, G * nbz8, self.nw * self.wc)
 
-        return BlockCtx(len_tab=len_tab, loc_tab=loc_tab,
+        return BlockCtx(len_tab=len_i, loc_tab=loc_i,
                         cnt_plane=cnt_plane,
-                        span_tab=span2, ctr_tab=ctr_tab,
-                        col_tab=col2, zrange=zrange, mxt_tab=mxt_tab,
+                        span_tab=span2, ctr_tab=ctr_i,
+                        col_tab=col2, zrange=zr_i, mxt_tab=mxt_i,
                         diag=diag)
 
     # ------------------------------------------------------------------
@@ -521,25 +600,25 @@ class BlockEngine:
             pair_dots=tuple(pair_dots), epi_fn=epi_fn, epi_cols=epi_cols)
 
         nbz = self.nbz
-        B, BY, NW = self.b, self.by, self.nw
+        B, BY, NW, G = self.b, self.by, self.nw, self.gi
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
             grid=(self.gcap,),
             in_specs=[
-                pl.BlockSpec((1, NW, nbz), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, G * NW, nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, NW, nbz), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, G * NW, nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 2 * (B + 2), 3), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, B * BY, nbz + 1), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, G * B * BY, nbz + 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 2 * B, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 1, 2 * G), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2, nbz), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 2 * G, nbz), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 16), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),   # epilogue scalars
@@ -551,7 +630,7 @@ class BlockEngine:
                 pltpu.VMEM((2, B + 2, f_pad, self.span),
                            jnp.float32),   # col spans, double-buffered
                 pltpu.VMEM((f_pad + 1, NW * self.wc), jnp.float32),  # cand
-                pltpu.VMEM((2 * self.nbz8, NW * self.wc), jnp.int32),
+                pltpu.VMEM((2 * G * self.nbz8, NW * self.wc), jnp.int32),
                 # countdown-mask rows, double-buffered like the spans
                 pltpu.VMEM((B * (self.half + 128), f_pad),
                            jnp.float32),                          # centers
@@ -580,7 +659,7 @@ class BlockEngine:
         # (n,) multiply — fuses into the consumers, never touches the
         # (n, 128) buffer.
         poison = jnp.float32(1.0)
-        if self.gcap < self.n_groups:
+        if POISON and self.gcap < self.n_inst:
             poison = jnp.where(ctx.diag["group_compact_overflow"],
                                jnp.float32(jnp.nan), jnp.float32(1.0))
         outs = {}
@@ -602,7 +681,7 @@ class BlockEngine:
                 pair_dots=(), epi_fn=None, epi_cols=None):
         Z, nbz, WC, SL, SPAN, h2 = self.z, self.nbz, self.wc, self.sl, \
             self.span, self.h2
-        B, BY, NW = self.b, self.by, self.nw
+        B, BY, NW, G = self.b, self.by, self.nw, self.gi
         HALF_CTR = self.half + 128
         HALF_OUT = self.half + 64
 
@@ -656,11 +735,12 @@ class BlockEngine:
             jax.lax.fori_loop(0, span_ref[0, row, 2], body, 0)
 
         NBZ8 = self.nbz8
+        GNBZ8 = G * NBZ8   # all G members' countdown planes, one DMA
 
         def plane_copy(b, g):
             return pltpu.make_async_copy(
                 plane_hbm.at[g],
-                mask_scr.at[pl.ds(b * NBZ8, NBZ8), :], sems.at[2 * B + 2])
+                mask_scr.at[pl.ds(b * GNBZ8, GNBZ8), :], sems.at[2 * B + 2])
 
         # cross-group double buffering: group g's 4 span DMAs are started
         # by instance g-1 (into buf g%2) while g-1 computes on buf (g-1)%2;
@@ -716,34 +796,44 @@ class BlockEngine:
                     jax.lax.fori_loop(
                         0, pl.cdiv(delta_g + col_len[c], 256), t_body, 0)
 
-            b0 = zr_ref[0, 0, 0]
-            b1 = zr_ref[0, 0, 1]
+            # member loop: each of the G iy-adjacent groups runs its own
+            # batch/sheet/math sweep against the SHARED union span slabs
+            # (the pair-math tile geometry is exactly the G=1 kernel's);
+            # only the per-member tables and countdown-plane rows differ.
+            # Python-unrolled (static m): every table row index stays a
+            # compile-time constant and G=1 compiles to exactly the
+            # round-4 structure.
+            def member_body(m):
+                b0 = zr_ref[0, 0, 2 * m]
+                b1 = zr_ref[0, 0, 2 * m + 1]
 
-            def batch_body(t, _):
-                # widest window and center count of this batch decide the
-                # sheet loops; overflow is processed exactly, sheet by
-                # sheet (no silent pair drops).  Both maxima are
-                # precomputed per batch in prepare() (mxt_tab); a batch
-                # with zero own centers is skipped whole — its masked
-                # stores were no-ops anyway.
-                mx = mxt_ref[0, 0, t]
-                mxc_real = mxt_ref[0, 1, t]
-                mxc = jnp.maximum(mxc_real, 1)
+                def batch_body(t, _):
+                    # widest window and center count of this batch decide
+                    # the sheet loops; overflow is processed exactly,
+                    # sheet by sheet (no silent pair drops).  Both maxima
+                    # are precomputed per batch in prepare() (mxt_tab); a
+                    # batch with zero own centers is skipped whole — its
+                    # masked stores were no-ops anyway.
+                    mx = mxt_ref[0, 2 * m, t]
+                    mxc_real = mxt_ref[0, 2 * m + 1, t]
+                    mxc = jnp.maximum(mxc_real, 1)
 
-                @pl.when(mxc_real > 0)
-                def _batch():
-                    ctr_off = []
-                    ctr_cnt = []
-                    for r in range(B * BY):
-                        cs = ctr_ref[0, r, t]
-                        ce = ctr_ref[0, r, t + 1]
-                        ctr_off.append(cs)
-                        ctr_cnt.append(ce - cs)
+                    @pl.when(mxc_real > 0)
+                    def _batch():
+                        ctr_off = []
+                        ctr_cnt = []
+                        for r in range(B * BY):
+                            cs = ctr_ref[0, m * B * BY + r, t]
+                            ce = ctr_ref[0, m * B * BY + r, t + 1]
+                            ctr_off.append(cs)
+                            ctr_cnt.append(ce - cs)
 
-                    sheet_loop(t, mx, mxc, ctr_off, ctr_cnt)
-                return 0
+                        sheet_loop(m, t, mx, mxc, ctr_off, ctr_cnt)
+                    return 0
 
-            def sheet_loop(t, mx, mxc, ctr_off, ctr_cnt):
+                jax.lax.fori_loop(b0, b1, batch_body, 0)
+
+            def sheet_loop(m, t, mx, mxc, ctr_off, ctr_cnt):
                 def sheet_body(sh, _):
                     # ---- assemble candidate tile (f_pad+1, 16*WC) ----
                     # scalar-pipe minimal: start lanes are table-stored
@@ -756,12 +846,12 @@ class BlockEngine:
                     # the DMA'd countdown plane (row > sho <=> lane-iota <
                     # len - sho) instead of NW scalar-broadcast compares
                     if ABLATE != "noasm":
-                        mrow = mask_scr[buf * NBZ8 + t, :]
+                        mrow = mask_scr[buf * GNBZ8 + m * NBZ8 + t, :]
                         cand_scr[f_pad:f_pad + 1, :] = \
                             (mrow > sho).astype(jnp.float32)[None, :]
                     for k in (() if ABLATE == "noasm" else range(NW)):
                         cspan = k % (B + 2)   # window order is iy-major
-                        loc = jnp.minimum(loc_ref[0, k, t] + sho,
+                        loc = jnp.minimum(loc_ref[0, m * NW + k, t] + sho,
                                           jnp.int32(SPAN - SL))
                         la = pl.multiple_of((loc // 128) * 128, 128)
                         slab = win_scr[buf, cspan, :, pl.ds(la, SL)]
@@ -1022,7 +1112,8 @@ class BlockEngine:
                 jax.lax.fori_loop(0, pl.cdiv(mx, WC), sheet_body, 0)
 
             if ABLATE not in ("noloop", "dmaonly"):
-                jax.lax.fori_loop(b0, b1, batch_body, 0)
+                for m in range(G):
+                    member_body(m)
 
             # ---- in-kernel epilogue on finished per-center sums ----
             # LANE-MAJOR row-chunk sweep per own column (round 4): the

@@ -224,11 +224,6 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
         brows = int(config.get_tpu_cfg("blocksRows", params.blocks_rows))
         browsy = int(config.get_tpu_cfg(
             "blocksRowsY", params.blocks_rows_y)) or brows
-        # span = (By+2) iy-rows of one ix-column; own column = By rows
-        pad4 = np.pad(rows, ((0, 0), (1, browsy + 2)))
-        w4 = sum(pad4[:, k:k + gn[1]] for k in range(browsy + 2))
-        pad2 = np.pad(rows, ((0, 0), (0, browsy)))
-        w2 = sum(pad2[:, k:k + gn[1]] for k in range(browsy))
 
         def _round_up(v, q):
             return int(-(-int(v) // q) * q)
@@ -243,17 +238,62 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
         # validated 6144, and the By sweep (j210: bigger spans, flat
         # ms/step) showed oversized caps are ~free on device.
         vf = 3.3 if method == 4 else 1.0
-        span_need = _round_up(int(w4.max()) * 1.7 * vf + 512, 256)
-        col_need = _round_up(int(w2.max()) * 1.7 * vf + 64, 256)
-        # group compaction capacity: occupied (Bx, By) xy-tiles at t=0
-        # with the standard evolution margin (the fluid footprint grows
-        # as splashes spread; overflow is a FATAL flag at runtime)
-        nbx_g, nby_g = -(-gn[0] // brows), -(-gn[1] // browsy)
-        occ_t = np.add.reduceat(
-            np.add.reduceat((rows > 0), np.arange(0, gn[0], brows), axis=0),
-            np.arange(0, gn[1], browsy), axis=1)
-        groups_need = _round_up((occ_t > 0).sum() * 1.7 * vf + 16, 8)
-        groups_need = min(groups_need, nbx_g * nby_g)
+
+        def _caps_for(g):
+            """Instance-level capacities for G = g iy-adjacent groups per
+            kernel instance: union span = (g*By + 2) iy-rows of one
+            ix-column, union own column = g*By rows, compaction cap =
+            occupied (Bx, g*By) xy-tiles — all with the standard
+            evolution margins."""
+            rows_y = browsy * g
+            pad_s = np.pad(rows, ((0, 0), (1, rows_y + 2)))
+            w_s = sum(pad_s[:, k:k + gn[1]] for k in range(rows_y + 2))
+            pad_c = np.pad(rows, ((0, 0), (0, rows_y)))
+            w_c = sum(pad_c[:, k:k + gn[1]] for k in range(rows_y))
+            span_need = _round_up(int(w_s.max()) * 1.7 * vf + 512, 256)
+            col_need = _round_up(int(w_c.max()) * 1.7 * vf + 64, 256)
+            span_cap = min(max(span_need, 1024),
+                           int((4096 + 1024 * rows_y) * max(1.0, vf * 0.55)))
+            col_cap = min(max(col_need, 512), int(2048 * rows_y * vf))
+            nbx_g = -(-gn[0] // brows)
+            niy_g = -(-(-(-gn[1] // browsy)) // g)
+            occ_t = np.add.reduceat(
+                np.add.reduceat((rows > 0), np.arange(0, gn[0], brows),
+                                axis=0),
+                np.arange(0, gn[1], rows_y), axis=1)
+            inst_need = _round_up((occ_t > 0).sum() * 1.7 * vf + 16, 8)
+            inst_need = min(inst_need, nbx_g * niy_g)
+            return span_cap, col_cap, inst_need
+
+        def _vmem_for(g, span_cap, col_cap):
+            """Kernel VMEM scratch estimate (bytes) at f_pad = 16 (the
+            worst per-solver operand count rounds to 16) — mirrors the
+            scratch_shapes in pallas_blocks.traverse."""
+            f_pad, wc, nw = 16, 32, (brows + 2) * (browsy + 2)
+            nbz8 = -(-(-(-gn[2] // 2)) // 8) * 8
+            return 4 * (2 * (brows + 2) * f_pad * span_cap     # win_scr
+                        + (f_pad + 1) * nw * wc                # cand
+                        + 2 * g * nbz8 * nw * wc               # mask
+                        + brows * (col_cap + 128) * f_pad      # centers
+                        + brows * (col_cap + 64) * 128)        # out
+
+        # G (groups per instance): largest value whose scratch fits the
+        # VMEM budget (~16 MB/core minus headroom for Mosaic spills and
+        # the double-buffered pipeline).  Bigger G cuts the measured
+        # descriptor-bound DMA/scaffold floor ~G x (span DMAs, SMEM
+        # fetches, plane DMAs and grid sequencing all amortize).
+        vmem_budget = 11.5e6
+        gi = int(config.get_tpu_cfg("blocksGroupsPerInst", 0))
+        if not gi:
+            gi = 1
+            for g in (8, 6, 4, 3, 2):
+                sc, cc, _ = _caps_for(g)
+                if _vmem_for(g, sc, cc) <= vmem_budget:
+                    gi = g
+                    break
+        gi = max(1, min(gi, -(-gn[1] // browsy)))
+        span_cap, col_cap, inst_need = _caps_for(gi)
+
         # slot engine layers: per-CELL occupancy with the same 1.7x
         # evolution margin (capacity = 8 * layers per cell; the fatal
         # slot_overflow flag catches drift beyond the margin)
@@ -265,21 +305,25 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
             params,
             blocks_rows=brows,
             blocks_rows_y=browsy,
+            blocks_groups_per_inst=gi,
             blocks_span_cap=int(config.get_tpu_cfg(
-                "blocksSpanCap",
-                min(max(span_need, 1024),
-                    int((4096 + 1024 * browsy) * max(1.0, vf * 0.55))))),
+                "blocksSpanCap", span_cap)),
             blocks_col_cap=int(config.get_tpu_cfg(
-                "blocksColCap",
-                min(max(col_need, 512), int(2048 * browsy * vf)))),
+                "blocksColCap", col_cap)),
             blocks_groups_cap=int(config.get_tpu_cfg(
-                "blocksGroupsCap", groups_need)),
+                "blocksGroupsCap", inst_need)),
             blocks_dma_chunk=int(config.get_tpu_cfg(
                 "blocksDmaChunk", params.blocks_dma_chunk)),
             slot_layers=int(config.get_tpu_cfg(
                 "slotLayers", min(max(layer_need, 2), 8))))
 
-    particles = make_particles(np_arrays, n_pad, with_dfsph=(method in (2, 4)))
+    warm = bool(config.get_tpu_cfg("dfsphWarmStart", False)) and method == 4
+    if warm:
+        import dataclasses as _dc2
+        params = _dc2.replace(params, dfsph_warm_start=True)
+    particles = make_particles(np_arrays, n_pad,
+                               with_dfsph=(method in (2, 4)),
+                               with_warm=warm)
     objects = SceneObjects(object_collection=object_collection,
                            rigid_body_ids=tuple(rigid_body_ids),
                            meshes=meshes, rest_positions=rest_positions,

@@ -48,6 +48,12 @@ class Particles(NamedTuple):
     # DFSPH extras (reference particle_system.py:115-117); None for WCSPH.
     dfsph_factor: Optional[jnp.ndarray] = None   # f32[N]
     density_adv: Optional[jnp.ndarray] = None    # f32[N]
+    # DFSPH kappa warm-start accumulators (round 5, opt-in via
+    # dfsph_warm_start; the reference carries this as a TODO,
+    # DFSPH.py:236-311 region).  Persist across substeps, so they ride
+    # the per-step sort — only allocated when the knob is on.
+    kappa_v: Optional[jnp.ndarray] = None        # f32[N] divergence solver
+    kappa_p: Optional[jnp.ndarray] = None        # f32[N] pressure solver
 
     @property
     def n(self):
@@ -137,14 +143,35 @@ class SimParams:
     #                               half-tile at 3*(Bx+2)*WC lanes while
     #                               amortizing the per-instance floor —
     #                               the asymmetric-block round-4 lever
-    blocks_groups_cap: int = 0    # group compaction: kernel grid size
-    #                               (occupied groups only; 0 = off).
-    #                               ~70% of dragon's groups are empty at
-    #                               t=0 — compaction drops their
-    #                               per-instance setup cost.  Sized by
-    #                               scene.py from t=0 footprint with the
-    #                               standard margin; overflow is FATAL
-    #                               (dropped groups = dropped pairs)
+    blocks_groups_cap: int = 0    # instance compaction: kernel grid size
+    #                               (occupied INSTANCES only; 0 = off;
+    #                               an instance is groups_per_inst
+    #                               iy-adjacent groups, so this equals
+    #                               the round-4 occupied-groups cap when
+    #                               groups_per_inst == 1).  ~70% of
+    #                               dragon's groups are empty at t=0 —
+    #                               compaction drops their per-instance
+    #                               setup cost.  Sized by scene.py from
+    #                               the t=0 footprint with the standard
+    #                               margin; overflow is FATAL (dropped
+    #                               instances = unwritten output rows,
+    #                               NaN-poisoned)
+    blocks_groups_per_inst: int = 1  # G: iy-adjacent BxBy groups per
+    #                               kernel instance (round 5).  Their
+    #                               per-column HBM spans are ADJACENT
+    #                               rid ranges (iy-minor sorted order
+    #                               within one ix row), so one union
+    #                               span DMA per column feeds all G
+    #                               groups: span descriptors, SMEM
+    #                               table fetches, countdown-plane DMAs
+    #                               and grid sequencing all drop ~G x —
+    #                               the attack on the measured
+    #                               descriptor-bound DMA/scaffold floor
+    #                               (12.75 ms dragon / 63.6 armadillo,
+    #                               j212/j219).  Pair-math tiles are
+    #                               UNCHANGED (the member loop runs each
+    #                               group's own windows).  Sized by
+    #                               scene.py under the VMEM budget.
     blocks_z_batch: int = 2       # z-cells per center batch (Z)
     blocks_window_cap: int = 32   # lanes per (Z+2)-cell window (WC)
     blocks_span_cap: int = 4096   # lanes per 4-row ix-column span DMA
@@ -181,6 +208,17 @@ class SimParams:
     #                               against a constant ones rhs)
     blocks_reduce_prec: str = "highest"  # dot_general precision for the
     #                               MXU reduce modes ("highest"|"default")
+    dfsph_warm_start: bool = False  # kappa warm start across substeps
+    #                               (round 5, the reference's own TODO):
+    #                               each solver pre-applies half of last
+    #                               substep's accumulated stiffness and
+    #                               converges in fewer Jacobi iterations.
+    #                               Changes iteration trajectories, so
+    #                               OFF by default; requires the kappa_v/
+    #                               kappa_p state fields (scene.py
+    #                               allocates them when this is set).
+    #                               Single-device only (the shard pack
+    #                               drops the kappa fields).
     blocks_tile: str = "half"     # pair-math tile granularity: "half"
     #                               (2 tiles of (2*CSL, 12*WC) per center
     #                               sheet) or "quarter" (4 of (CSL, 9*WC):
@@ -242,7 +280,7 @@ def pad_count(n, multiple=PAD_MULTIPLE):
     return int(-(-n // multiple) * multiple)
 
 
-def make_particles(np_arrays, n_pad, with_dfsph=False):
+def make_particles(np_arrays, n_pad, with_dfsph=False, with_warm=False):
     """Assemble a padded Particles pytree from host numpy arrays of length n.
 
     Padding particles: material=-1, is_dynamic=0, parked far outside the
@@ -276,4 +314,6 @@ def make_particles(np_arrays, n_pad, with_dfsph=False):
         color=pad(np_arrays["color"].astype(np.int32)),
         dfsph_factor=pad(np.zeros(n, np.float32)) if with_dfsph else None,
         density_adv=pad(np.zeros(n, np.float32)) if with_dfsph else None,
+        kappa_v=pad(np.zeros(n, np.float32)) if with_warm else None,
+        kappa_p=pad(np.zeros(n, np.float32)) if with_warm else None,
     )

@@ -65,6 +65,25 @@ def test_block_solver_equivalence_block_rows(rows, rows_y, tile, rng):
     _assert_states_close(sg, sp)
 
 
+@pytest.mark.parametrize("gi,rows_y,tile", [
+    (2, 0, "half"), (3, 0, "half"), (4, 2, "half"), (4, 0, "quarter")])
+def test_block_solver_equivalence_groups_per_inst(gi, rows_y, tile, rng):
+    """G groups per instance (round 5): G iy-adjacent groups share one
+    kernel instance and per-column UNION span DMAs; the member loop must
+    reproduce the per-group pair set exactly.  Clumped layout forces
+    overflow sheets; G=3 exercises a ragged last instance (nby % G != 0)
+    and rows_y=2 composes G with asymmetric By."""
+    d = small_scene_dict(method=0)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    x = _clumped_positions(rng, params, particles)
+    sg = _run(0, "gather", 2, perturb=x)
+    sp = _run(0, "pallas_blocks_interpret", 2, perturb=x,
+              blocks_groups_per_inst=gi, blocks_rows_y=rows_y,
+              blocks_tile=tile, blocks_groups_cap=0)
+    _assert_states_close(sg, sp)
+
+
 @pytest.mark.parametrize("method", [0, 4])
 def test_block_solver_equivalence_chunked_dma(method, rng):
     """Chunked span DMA (round 4): dma_chunk=128 forces every occupied
@@ -125,7 +144,7 @@ def test_block_compaction_active_equivalence():
                                  backend="pallas_blocks_interpret",
                                  blocks_groups_cap=occ)
     eng = make_engine(params)
-    assert 0 < eng.gcap < eng.n_groups, \
+    assert 0 < eng.gcap < eng.n_inst, \
         "scene must exercise an actually-compacted grid"
     solver = build_solver(params)
     state = solver.initialize(particles)
