@@ -592,33 +592,55 @@ class BlockEngine:
             assert sum(nc for _, nc in out_cols) <= 64
             assert sum(nc for _, nc in epi_cols) <= 64
             scalars = jnp.asarray(scalars, jnp.float32).reshape(-1)
+            assert scalars.shape[0] <= 15, "scalar 15 is the poison flag"
             sc_arr = sc_arr.at[0, :scalars.shape[0]].set(scalars)
+        # compaction-overflow poison flag rides scalar slot 15: when
+        # occupied instances exceed the cap, a TAIL grid instance NaNs
+        # the whole output buffer (see _kernel) so direct step() callers
+        # fail loudly on finite checks instead of consuming the dropped
+        # instances' uninitialized rows.  In-kernel because the obvious
+        # XLA-side per-column multiply measured 4.3 ms/step at dragon
+        # scale (j235) — another instance of the "every standalone
+        # elementwise stage costs real time" law; the tail instance
+        # costs one grid slot and does nothing unless the flag is set.
+        tail_poison = POISON and self.gcap < self.n_inst
+        if tail_poison:
+            sc_arr = sc_arr.at[0, 15].set(
+                ctx.diag["group_compact_overflow"].astype(jnp.float32))
 
         kernel = functools.partial(
             self._kernel, term_fn=term_fn, name_to_idx=name_to_idx,
             out_cols=out_cols, f_pad=f_pad, mxu=(mode == "mxu"),
-            pair_dots=tuple(pair_dots), epi_fn=epi_fn, epi_cols=epi_cols)
+            pair_dots=tuple(pair_dots), epi_fn=epi_fn, epi_cols=epi_cols,
+            n_out=n, tail_poison=tail_poison)
 
         nbz = self.nbz
         B, BY, NW, G = self.b, self.by, self.nw, self.gi
+        gc1 = self.gcap - 1
+
+        def imap(i):
+            # clamp for the poison tail instance (reads are never used
+            # there, but the pipeline still fetches a block)
+            return (jnp.minimum(i, gc1), 0, 0)
+
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
-            grid=(self.gcap,),
+            grid=(self.gcap + (1 if tail_poison else 0),),
             in_specs=[
-                pl.BlockSpec((1, G * NW, nbz), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, G * NW, nbz), imap,
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, G * NW, nbz), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, G * NW, nbz), imap,
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2 * (B + 2), 3), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 2 * (B + 2), 3), imap,
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, G * B * BY, nbz + 1), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, G * B * BY, nbz + 1), imap,
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2 * B, 2), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 2 * B, 2), imap,
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 2 * G), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 1, 2 * G), imap,
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2 * G, nbz), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 2 * G, nbz), imap,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 16), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),   # epilogue scalars
@@ -647,29 +669,13 @@ class BlockEngine:
         # with an epilogue the returned values live in lanes [64, 64+W)
         # (pair sums stay in [0, 64) so the in-place transform is
         # idempotent on the overlapping exact-tail chunk)
-        #
-        # compaction-overflow poison (ADVICE r4): when occupied groups
-        # exceed the cap, the dropped groups' center rows are never
-        # written by any instance — their output rows are UNINITIALIZED
-        # HBM, not merely "missing pairs".  Scale every returned column
-        # by NaN in that case so direct step() callers (bench loops,
-        # ShardedSolver) fail loudly on their finite checks instead of
-        # proceeding with garbage; Simulation.run_frame discards the
-        # poisoned state and re-runs the frame uncompacted.  Per-column
-        # (n,) multiply — fuses into the consumers, never touches the
-        # (n, 128) buffer.
-        poison = jnp.float32(1.0)
-        if POISON and self.gcap < self.n_inst:
-            poison = jnp.where(ctx.diag["group_compact_overflow"],
-                               jnp.float32(jnp.nan), jnp.float32(1.0))
         outs = {}
         pos = 64 if epilogue is not None else 0
         for o, ncomp in (epi_cols if epilogue is not None else out_cols):
             if ncomp == 3:
-                outs[o] = (out[:n, pos] * poison, out[:n, pos + 1] * poison,
-                           out[:n, pos + 2] * poison)
+                outs[o] = (out[:n, pos], out[:n, pos + 1], out[:n, pos + 2])
             else:
-                outs[o] = out[:n, pos] * poison
+                outs[o] = out[:n, pos]
             pos += ncomp
         return outs
 
@@ -678,7 +684,8 @@ class BlockEngine:
                 zr_ref, mxt_ref, sc_ref, plane_hbm, lanes_hbm, out_hbm,
                 win_scr, cand_scr, mask_scr, ctr_scr, out_scr, sems, *,
                 term_fn, name_to_idx, out_cols, f_pad, mxu=False,
-                pair_dots=(), epi_fn=None, epi_cols=None):
+                pair_dots=(), epi_fn=None, epi_cols=None, n_out=0,
+                tail_poison=False):
         Z, nbz, WC, SL, SPAN, h2 = self.z, self.nbz, self.wc, self.sl, \
             self.span, self.h2
         B, BY, NW, G = self.b, self.by, self.nw, self.gi
@@ -695,6 +702,37 @@ class BlockEngine:
         i_g = pl.program_id(0)
         buf = jax.lax.rem(i_g, jnp.int32(2))
         nbuf = jnp.int32(1) - buf
+        # with the tail-poison instance appended, every normal-work guard
+        # also requires i_g < gcap (the tail reads instance gcap-1's
+        # clamped tables, whose DMAs were consumed by gcap-1 itself —
+        # re-running them would deadlock on the span semaphores)
+        live = i_g < jnp.int32(self.gcap)
+        if tail_poison:
+            grp_len = jnp.where(live, grp_len, 0)
+            nxt_len = jnp.where(live, nxt_len, 0)
+
+            # the tail instance NaNs the WHOLE output buffer when the
+            # compaction-overflow flag (scalar 15) is set: dropped
+            # occupied instances mean unwritten output rows, and callers
+            # must see NaN, not uninitialized HBM.  Pays only on actual
+            # overflow, which is fatal-and-recovered anyway.
+            @pl.when((i_g == jnp.int32(self.gcap)) & (sc_ref[0, 15] > 0.5))
+            def _poison():
+                out_scr[0:OUT_CHUNK, :] = jnp.full(
+                    (OUT_CHUNK, 128), jnp.nan, jnp.float32)
+
+                def body(k, _):
+                    src = jnp.minimum(k * OUT_CHUNK,
+                                      jnp.int32(max(n_out - OUT_CHUNK, 0)))
+                    cp = pltpu.make_async_copy(
+                        out_scr.at[pl.ds(0, min(OUT_CHUNK, n_out)), :],
+                        out_hbm.at[pl.ds(src, min(OUT_CHUNK, n_out)), :],
+                        sems.at[2 * B + 2])
+                    cp.start()
+                    cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, pl.cdiv(n_out, OUT_CHUNK), body, 0)
 
         def span_base(row):
             lo = span_ref[0, row, 0]

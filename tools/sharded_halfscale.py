@@ -42,7 +42,7 @@ def main():
     radius = float(sys.argv[1]) if len(sys.argv) > 1 else 0.0155
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     tag = sys.argv[3] if len(sys.argv) > 3 else "HALF"
-    out = os.path.join(ROOT, "SHARDED_%s_r04.json" % tag)
+    out = os.path.join(ROOT, "SHARDED_%s_r05.json" % tag)
 
     assert len(jax.devices()) >= 8, "need 8 virtual devices (XLA_FLAGS)"
     d = json.load(open(os.path.join(ROOT,
