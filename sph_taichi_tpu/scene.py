@@ -278,11 +278,13 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
                         + brows * (col_cap + 64) * 128)        # out
 
         # G (groups per instance): largest value whose scratch fits the
-        # VMEM budget (~16 MB/core minus headroom for Mosaic spills and
-        # the double-buffered pipeline).  Bigger G cuts the measured
-        # descriptor-bound DMA/scaffold floor ~G x (span DMAs, SMEM
-        # fetches, plane DMAs and grid sequencing all amortize).
-        vmem_budget = 11.5e6
+        # VMEM budget.  The hardware limit is 16 MB/core and Mosaic's
+        # stack (candidate tiles, epilogue transposes, vreg spills) adds
+        # ~4.6 MB on top of the declared scratch (measured: the DFSPH
+        # dragon at G=2 declared 11.46 MB and compiled to a 16.05 MB
+        # scoped allocation — 52 KB over the limit, j239).  Budget =
+        # 16 - 4.8 headroom.
+        vmem_budget = 11.2e6
         gi = int(config.get_tpu_cfg("blocksGroupsPerInst", 0))
         if not gi:
             gi = 1
