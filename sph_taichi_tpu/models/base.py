@@ -92,9 +92,35 @@ def bin_and_sort(p: Particles, params: SimParams, engine):
         transient.append("pressure")
     if not params.dynamic_rigid_ids:
         transient.append("x0")
+    # per-object-constant fields (round 5, j241: the sort network alone
+    # is 7.1 ms/step at dragon scale): material / is_dynamic / m /
+    # density are derivable from object_id (solid density is the
+    # creation value forever; fluid density is fully recomputed by
+    # compute_densities before any read in every solver substep), so
+    # they are dropped from the sort payload and restored from the
+    # static SimParams tables below — tiny lookups that fuse into the
+    # consumers instead of four more 442K-lane sort operands.
+    derived = bool(params.obj_material)
+    if derived:
+        transient += ["material", "is_dynamic", "m", "density"]
     cell_ids = compute_cell_ids(p.x, p.material, params.grid_size,
                                 params.grid_num)
     p, sorted_ids = sort_by_cell(p, cell_ids, extra_transient=transient)
+    if derived:
+        oid = p.object_id
+        pad_row = oid < 0
+        safe = jnp.clip(oid, 0, len(params.obj_material) - 1)
+        mat_t = jnp.asarray(params.obj_material, jnp.int32)
+        den_t = jnp.asarray(params.obj_density0, jnp.float32)
+        dyn_t = jnp.asarray(params.obj_is_dynamic, jnp.int32)
+        # m tabled VERBATIM from creation values (recomputing
+        # m_V0*density0 here lands 1 ulp off creation's cast chain)
+        m_t = jnp.asarray(params.obj_m0, jnp.float32)
+        p = p._replace(
+            material=jnp.where(pad_row, MATERIAL_PAD, mat_t[safe]),
+            is_dynamic=jnp.where(pad_row, 0, dyn_t[safe]),
+            density=jnp.where(pad_row, 0.0, den_t[safe]),
+            m=jnp.where(pad_row, 0.0, m_t[safe]))
     starts = cell_offsets(sorted_ids, params.num_cells)
     ctx = engine.prepare(p.x, starts)
     diag = {"max_cell_occupancy": max_cell_occupancy(starts),

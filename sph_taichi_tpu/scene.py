@@ -319,6 +319,35 @@ def build_scene(config: SimConfig, scene_dir=".", neighbor_cap=None,
             slot_layers=int(config.get_tpu_cfg(
                 "slotLayers", min(max(layer_need, 2), 8))))
 
+    # per-object constant tables (see SimParams.obj_material): build only
+    # when every object id is single-valued over (material, density,
+    # is_dynamic) — else leave empty (fields ride the sort as before)
+    obj_mat = np.full(max(num_objects, 1), MATERIAL_FLUID, np.int32)
+    obj_den = np.zeros(max(num_objects, 1), np.float32)
+    obj_dyn = np.zeros(max(num_objects, 1), np.int32)
+    obj_m = np.zeros(max(num_objects, 1), np.float32)
+    consistent = num_objects > 0
+    seen = {}
+    for c in chunks:
+        oid = int(c["object_id"][0])
+        key = (int(c["material"][0]), float(c["density"][0]),
+               int(c["is_dynamic"][0]), float(c["m"][0]))
+        if not (c["material"] == key[0]).all() \
+                or not (c["density"] == key[1]).all() \
+                or not (c["is_dynamic"] == key[2]).all() \
+                or not (c["m"] == key[3]).all() \
+                or seen.setdefault(oid, key) != key:
+            consistent = False
+            break
+        obj_mat[oid], obj_den[oid], obj_dyn[oid], obj_m[oid] = key
+    if consistent:
+        params = dataclasses.replace(
+            params,
+            obj_material=tuple(int(v) for v in obj_mat),
+            obj_density0=tuple(float(v) for v in obj_den),
+            obj_is_dynamic=tuple(int(v) for v in obj_dyn),
+            obj_m0=tuple(float(v) for v in obj_m))
+
     warm = bool(config.get_tpu_cfg("dfsphWarmStart", False)) and method == 4
     if warm:
         import dataclasses as _dc2

@@ -208,6 +208,24 @@ class SimParams:
     #                               against a constant ones rhs)
     blocks_reduce_prec: str = "highest"  # dot_general precision for the
     #                               MXU reduce modes ("highest"|"default")
+    # per-object-id constants (round 5): material / creation density /
+    # is_dynamic are single-valued per object, so the per-particle
+    # fields material, is_dynamic, m (= m_V0 * creation density) and
+    # density (solid rows keep creation density forever; fluid rows are
+    # fully recomputed by compute_densities before any read in every
+    # solver's substep) need not ride the per-step 14-operand sort
+    # network — bin_and_sort drops them as transients and restores them
+    # from these tables via tiny static lookups (j241: the sort alone
+    # is 7.1 ms/step at dragon scale, ~2x the round-3 attribution).
+    # Empty tuples disable the optimization (scene.py sets them only
+    # when every object_id is single-valued).
+    obj_material: tuple = ()
+    obj_density0: tuple = ()
+    obj_is_dynamic: tuple = ()
+    obj_m0: tuple = ()            # creation m per object, tabled VERBATIM
+    #                               (recomputing m_V0*density0 lands 1 ulp
+    #                               off creation's f64-multiply-then-cast
+    #                               chain and broke golden bitwise parity)
     dfsph_warm_start: bool = False  # kappa warm start across substeps
     #                               (round 5, the reference's own TODO):
     #                               each solver pre-applies half of last
