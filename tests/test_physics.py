@@ -254,3 +254,66 @@ def test_boundary_volume_dense_matches_engine():
     ns = ~s
     np.testing.assert_array_equal(np.asarray(pd.m_V)[ns],
                                   np.asarray(pe.m_V)[ns])
+
+
+def test_object_constant_sort_fields_bitwise():
+    """Round 5: material / is_dynamic / m / density are dropped from the
+    sort payload and restored from per-object tables.  The restored
+    state must be BITWISE identical to the ride-along path (m is tabled
+    verbatim from creation values — recomputing m_V0*density0 lands
+    1 ulp off and broke golden parity until tabled)."""
+    import dataclasses
+    import jax
+    from sph_taichi_tpu.models.base import bin_and_sort
+    from sph_taichi_tpu.ops.pairs import make_engine
+
+    d = small_scene_dict(method=0)
+    d["RigidBlocks"] = [{
+        "objectId": 1, "start": [0.55, 0.45, 0.25], "end": [0.8, 0.7, 0.5],
+        "translation": [0.0, 0.0, 0.0], "scale": [1.0, 1.0, 1.0],
+        "velocity": [0.0, 0.0, 0.0], "density": 500.0,
+        "color": [100, 100, 100], "isDynamic": True}]
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg)
+    assert params.obj_material, "tables must be built for this scene"
+    base = dataclasses.replace(params, obj_material=(), obj_density0=(),
+                               obj_is_dynamic=(), obj_m0=())
+    engA, engB = make_engine(params), make_engine(base)
+    pA, _, _ = jax.jit(lambda pt: bin_and_sort(pt, params, engA))(particles)
+    pB, _, _ = jax.jit(lambda pt: bin_and_sort(pt, base, engB))(particles)
+    for f in ("material", "is_dynamic", "m", "density"):
+        a = np.asarray(getattr(pA, f))
+        b = np.asarray(getattr(pB, f))
+        assert (a == b).all(), f"field {f} not bitwise-restored"
+
+
+def test_dfsph_warm_start_matches_cold():
+    """Round 5 kappa warm start (opt-in): both runs converge to the same
+    incompressibility tolerances, so matched states must agree closely;
+    the kappa accumulators must stay finite and actually populate."""
+    from scipy.spatial import cKDTree
+
+    d = small_scene_dict(method=4)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg)
+    cold = build_solver(params)
+    sc = cold.initialize(particles)
+    d2 = dict(d)
+    d2["TPU"] = {"dfsphWarmStart": True}
+    cfg2 = SimConfig(config_dict=d2)
+    params2, particles2, _ = build_scene(cfg2)
+    assert params2.dfsph_warm_start and particles2.kappa_p is not None
+    wrm = build_solver(params2)
+    sw = wrm.initialize(particles2)
+    for _ in range(6):
+        sc, _ = cold.step(sc)
+        sw, _ = wrm.step(sw)
+    kv = np.asarray(sw.p.kappa_v)
+    assert np.isfinite(kv).all()
+    assert np.abs(kv).max() > 0, "warm accumulator never populated"
+    xc = np.asarray(sc.p.x)[np.asarray(sc.p.material) == 1]
+    xw = np.asarray(sw.p.x)[np.asarray(sw.p.material) == 1]
+    tree = cKDTree(xw)
+    dist, idx = tree.query(xc, k=1)
+    assert len(np.unique(idx)) == len(idx)
+    assert dist.max() < 5e-4, f"warm/cold diverged: {dist.max()}"
