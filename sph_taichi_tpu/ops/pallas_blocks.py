@@ -75,6 +75,16 @@ ABLATE = ""
 # uninitialized HBM to direct step() callers).
 POISON = True
 
+# Trace-time experiment switch (VERDICT r4 item 2b): run the term-fn
+# math chain (cubic kernel + coefficients, ~22-30 of the ~75 vector ops
+# per candidate lane) in this dtype.  Pair geometry (rvec/d2/mask/rsqrt)
+# and the masked products + lane reductions stay f32, so neighbor
+# inclusion and summation order are unchanged; only the coefficient
+# values round.  Set to jnp.bfloat16 by a devserver A/B job; None =
+# production f32.  NOT a shipped knob: bf16 coefficients shift values
+# ~1e-2 relative (8-bit mantissa), far outside the golden/parity gates.
+MATH_DTYPE = None
+
 
 class BlockCtx(NamedTuple):
     # n_inst = grid size (instance = G iy-adjacent groups; G = 1 reduces
@@ -207,6 +217,24 @@ class BlockEngine:
                                    "highest") or "highest"
         self.tile = getattr(params, "blocks_tile", "half") or "half"
         assert self.tile in ("half", "quarter"), self.tile
+        # inner-loop scheduler (round 5): "sheet_outer" = rounds-3/4
+        # structure (candidate sheet assembled once, center sheets
+        # re-swept per window sheet); "ctr_outer" = macro-assembled
+        # sheets with center sheets OUTER and per-piece register
+        # accumulators (reduction trees / center assembly / out_scr RMW
+        # once per center sheet instead of once per window sheet).
+        self.sched = getattr(params, "blocks_sched",
+                             "ctr_outer") or "ctr_outer"
+        assert self.sched in ("sheet_outer", "ctr_outer"), self.sched
+        self.sheet_group = int(getattr(params, "blocks_sheet_group", 0)
+                               or 4)
+        if self.sched == "ctr_outer" and (self.reduce != "sum"
+                                          or self.chunked):
+            # the MXU reduce modes contract against the per-sheet
+            # candidate tile, and the chunked span DMA is only
+            # equivalence-tested under the per-sheet validity-row
+            # masking — both keep the sheet-outer structure
+            self.sched = "sheet_outer"
         self.h2 = params.support_radius * params.support_radius
 
     # ------------------------------------------------------------------
@@ -651,7 +679,14 @@ class BlockEngine:
             scratch_shapes=[
                 pltpu.VMEM((2, B + 2, f_pad, self.span),
                            jnp.float32),   # col spans, double-buffered
-                pltpu.VMEM((f_pad + 1, NW * self.wc), jnp.float32),  # cand
+                # candidate sheets: sheet_outer holds ONE sheet (+ the
+                # f32 validity row); ctr_outer holds a macro-group of
+                # sheet_group sheets stacked on sublanes (validity is a
+                # register-resident countdown compare instead)
+                pltpu.VMEM(((self.sheet_group * f_pad, NW * self.wc)
+                            if self.sched == "ctr_outer"
+                            else (f_pad + 1, NW * self.wc)),
+                           jnp.float32),  # cand
                 pltpu.VMEM((2 * G * self.nbz8, NW * self.wc), jnp.int32),
                 # countdown-mask rows, double-buffered like the spans
                 pltpu.VMEM((B * (self.half + 128), f_pad),
@@ -871,14 +906,204 @@ class BlockEngine:
 
                 jax.lax.fori_loop(b0, b1, batch_body, 0)
 
+            # ---- shared tile helpers (both schedulers) ----
+            def build_cen(ctr_off, ctr_cnt, cs_i):
+                """Assemble the center tile (B*BY*CSL, f_pad)."""
+                cen_rows = []
+                for r in range(B * BY):
+                    c = r % B      # iy-major row order
+                    off = (delta_c[c] + ctr_off[r] + cs_i * CSL
+                           - col_lo[c] + c * HALF_CTR)
+                    off = jnp.clip(off, c * HALF_CTR,
+                                   jnp.int32((c + 1) * HALF_CTR - CSL))
+                    seg = ctr_scr[pl.ds(off, CSL), :]
+                    cnt = ctr_cnt[r] - cs_i * CSL
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (CSL, f_pad), 0)
+                    # lane-select, not .at[].set: scatter has no
+                    # Mosaic lowering inside the kernel
+                    li = jax.lax.broadcasted_iota(
+                        jnp.int32, (CSL, f_pad), 1)
+                    inv = jnp.where(
+                        li == 0, jnp.float32(1e9),
+                        jnp.where(li == 3, jnp.float32(-1.0), 0.0))
+                    seg = jnp.where(iota < cnt, seg, inv)
+                    cen_rows.append(seg)
+                return jnp.concatenate(cen_rows, axis=0)
+
+            # tile pair-math geometry.  "half" (default): own iy-row j
+            # centers (cen rows 2j*CSL..) only see the 12 windows with
+            # ri in {j-1, j, j+1} — one contiguous 12*WC-lane slice in
+            # iy-major window order.  Two (2*CSL, 12*WC) tiles instead
+            # of one (4*CSL, 16*WC): 25% less padded pair math for the
+            # same pairs.  "quarter" (round 4): each own row (c, j)
+            # additionally drops its dead ci column — its 9 true windows
+            # are 3 contiguous 3*WC chunks (one per ri group, offset
+            # c*WC in ci-minor order), concatenated into a (CSL, 9*WC)
+            # tile: another 25% less padded math for 3 static slices +
+            # a lane concat per quarter.  Geometrically dead lanes that
+            # remain are excluded by d2 < h2 (cell size == h exactly,
+            # state.py grid_size).  Each tile carries a `take` lane
+            # slicer so both the candidate rows and (ctr_outer) the
+            # validity row can be cut the same way.
+            def tile_split(cen):
+                tiles = []
+                if self.tile == "quarter":
+                    for r in range(B * BY):
+                        c_q, j_q = r % B, r // B
+
+                        def take(arr, c_q=c_q, j_q=j_q):
+                            return jnp.concatenate(
+                                [arr[:, ((j_q + g) * (B + 2) + c_q) * WC:
+                                     ((j_q + g) * (B + 2) + c_q) * WC
+                                     + 3 * WC] for g in range(3)],
+                                axis=1)
+
+                        tiles.append(
+                            (cen[r * CSL:(r + 1) * CSL, :], take, CSL))
+                else:
+                    for hj in range(BY):
+                        lo_l = hj * (B + 2) * WC
+
+                        def take(arr, lo_l=lo_l):
+                            return arr[:, lo_l:lo_l + 3 * (B + 2) * WC]
+
+                        tiles.append(
+                            (cen[hj * B * CSL:(hj + 1) * B * CSL, :],
+                             take, B * CSL))
+                return tiles
+
+            def pair_rows(cen_h, cq_t, vld):
+                """Masked per-pair product rows for one tile.
+
+                ``vld`` is the (1, TW) window-validity row (lane <
+                window length).  Returns (rows_l, post, fi): each
+                rows_l[i] is an (RH, TW) f32 row whose lane sum is one
+                output piece, in out_cols order (radial/vec: 3 pieces);
+                ``post`` records the piece kinds for the MXU reduce
+                modes; ``fi`` is the center field dict (the decomp
+                rebuild reads it)."""
+                fi = {k_: cen_h[:, v:v + 1]
+                      for k_, v in name_to_idx.items()}
+                fj = {k_: cq_t[v:v + 1, :]
+                      for k_, v in name_to_idx.items()}
+                rvec = (fi["x0"] - fj["x0"],
+                        fi["x1"] - fj["x1"],
+                        fi["x2"] - fj["x2"])
+                d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
+                      + rvec[2] * rvec[2])
+                mask = (vld & (d2 < h2)
+                        & (fi["gidx"] != fj["gidx"]))
+                # masked rvec for the radial c*rvec products: a masked
+                # coefficient times a RAW rvec still propagates
+                # NaN/garbage from lanes past the chunked span DMA's
+                # shipped length (0*NaN = NaN); select here, once per
+                # tile, instead of per output row
+                rvm = tuple(jnp.where(mask, rv, 0.0) for rv in rvec)
+
+                if mxu:
+                    # one rsqrt replaces sqrt + the term fns' divide
+                    # (rn = d2*inv, <= 2 ulp; GatherEngine ships the
+                    # same "_inv")
+                    inv = jax.lax.rsqrt(
+                        jnp.maximum(d2, jnp.float32(1e-38)))
+                    rn = d2 * inv
+                    dots = {"_inv": inv}
+                    for u in pair_dots:
+                        du = tuple(fi[f"{u}{dd}"] - fj[f"{u}{dd}"]
+                                   for dd in range(3))
+                        dots[u] = (du[0] * rvec[0] + du[1] * rvec[1]
+                                   + du[2] * rvec[2])
+                    if MATH_DTYPE is not None:
+                        md = MATH_DTYPE
+                        contribs = term_fn(
+                            {k_: v_.astype(md) for k_, v_ in fi.items()},
+                            {k_: v_.astype(md) for k_, v_ in fj.items()},
+                            d2.astype(md), rn.astype(md),
+                            {k_: v_.astype(md)
+                             for k_, v_ in dots.items()})
+                        contribs = {
+                            k_: (tuple(c.astype(jnp.float32) for c in v_)
+                                 if isinstance(v_, tuple)
+                                 else v_.astype(jnp.float32))
+                            for k_, v_ in contribs.items()}
+                    else:
+                        contribs = term_fn(fi, fj, d2, rn, dots)
+                else:
+                    rn = jnp.sqrt(d2)
+                    contribs = term_fn(fi, fj, rvec, rn)
+
+                rows_l, post = [], []
+                for o, ncomp in out_cols:
+                    cc = contribs[o]
+                    if (ncomp == 3 and mxu
+                            and self.reduce == "decomp"):
+                        cm = jnp.where(
+                            mask, jnp.broadcast_to(cc, mask.shape), 0.0)
+                        rows_l.append(cm)
+                        post.append((o, "decomp"))
+                    elif ncomp == 3 and mxu:
+                        cm = jnp.where(
+                            mask, jnp.broadcast_to(cc, mask.shape), 0.0)
+                        for rv in rvm:
+                            rows_l.append(cm * rv)
+                        post.append((o, "sum3"))
+                    else:
+                        comps = cc if ncomp == 3 else (cc,)
+                        for comp in comps:
+                            rows_l.append(jnp.where(
+                                mask, jnp.broadcast_to(comp, mask.shape),
+                                0.0))
+                        post.append((o, "sum%d" % len(comps)))
+                return rows_l, post, fi
+
+            def store_res(res, ctr_off, ctr_cnt, cs_i, first):
+                """Accumulate one center sheet's (B*BY*CSL, 128) result
+                block into out_scr.  MASKED-exact per-row copies: only
+                rows holding this row-batch's real centers are touched
+                (a plain 16-row copy would overshoot a row's final
+                batch into the *other* own row's already-written early
+                rows).  ``first`` selects init-vs-accumulate."""
+                pad = 128 - res.shape[1]
+                if pad:
+                    res = jnp.concatenate(
+                        [res, jnp.zeros((B * BY * CSL, pad), jnp.float32)],
+                        axis=1)
+                for r in range(B * BY):
+                    c = r % B      # iy-major row order
+                    off = (ctr_off[r] + cs_i * CSL - col_lo[c]
+                           + c * HALF_OUT)
+                    off = jnp.clip(off, c * HALF_OUT,
+                                   jnp.int32((c + 1) * HALF_OUT - CSL))
+                    cnt = ctr_cnt[r] - cs_i * CSL
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (CSL, 128), 0)
+                    rr = res[r * CSL:(r + 1) * CSL, :]
+                    cur = out_scr[pl.ds(off, CSL), :]
+                    val = jnp.where(first, rr, cur + rr)
+                    out_scr[pl.ds(off, CSL), :] = jnp.where(
+                        iota < cnt, val, cur)
+
+            def asm_window(m, t, sho, k):
+                """Assemble window k's sheet at offset ``sho`` -> the
+                (f_pad, WC) segment.  Scalar-pipe minimal: start lanes
+                are table-stored span-relative + pre-clipped (loc_tab);
+                per window-sheet only the sheet shift, alignment AND,
+                and roll amount remain on the scalar unit."""
+                cspan = k % (B + 2)   # window order is iy-major
+                loc = jnp.minimum(loc_ref[0, m * NW + k, t] + sho,
+                                  jnp.int32(SPAN - SL))
+                la = pl.multiple_of((loc // 128) * 128, 128)
+                slab = win_scr[buf, cspan, :, pl.ds(la, SL)]
+                if ABLATE != "norolls":
+                    slab = pltpu.roll(slab, SL - (loc - la), axis=1)
+                return slab[:, :WC]
+
             def sheet_loop(m, t, mx, mxc, ctr_off, ctr_cnt):
+                """Window-sheet-outer scheduler (rounds 3-4 structure):
+                assemble one candidate sheet, sweep every center sheet
+                against it, accumulate across sheets through out_scr."""
                 def sheet_body(sh, _):
-                    # ---- assemble candidate tile (f_pad+1, 16*WC) ----
-                    # scalar-pipe minimal: start lanes are table-stored
-                    # span-relative + pre-clipped (loc_tab), mask bounds
-                    # table-stored as f32 (winf_tab); per window-sheet
-                    # only the sheet shift, alignment AND, and roll
-                    # amount remain on the scalar unit
                     sho = sh * WC
                     # whole-sheet validity row: ONE vector compare against
                     # the DMA'd countdown plane (row > sho <=> lane-iota <
@@ -888,143 +1113,22 @@ class BlockEngine:
                         cand_scr[f_pad:f_pad + 1, :] = \
                             (mrow > sho).astype(jnp.float32)[None, :]
                     for k in (() if ABLATE == "noasm" else range(NW)):
-                        cspan = k % (B + 2)   # window order is iy-major
-                        loc = jnp.minimum(loc_ref[0, m * NW + k, t] + sho,
-                                          jnp.int32(SPAN - SL))
-                        la = pl.multiple_of((loc // 128) * 128, 128)
-                        slab = win_scr[buf, cspan, :, pl.ds(la, SL)]
-                        if ABLATE != "norolls":
-                            slab = pltpu.roll(slab, SL - (loc - la), axis=1)
-                        seg = slab[:, :WC]
-                        cand_scr[0:f_pad, k * WC:(k + 1) * WC] = seg
+                        cand_scr[0:f_pad, k * WC:(k + 1) * WC] = \
+                            asm_window(m, t, sho, k)
 
                     cand = cand_scr[...]
 
                     def ctr_sheet(cs_i, _):
-                        # ---- assemble center tile (B*BY*CSL, f_pad) ----
-                        cen_rows = []
-                        for r in range(B * BY):
-                            c = r % B      # iy-major row order
-                            off = (delta_c[c] + ctr_off[r] + cs_i * CSL
-                                   - col_lo[c] + c * HALF_CTR)
-                            off = jnp.clip(off, c * HALF_CTR,
-                                           jnp.int32((c + 1) * HALF_CTR
-                                                     - CSL))
-                            seg = ctr_scr[pl.ds(off, CSL), :]
-                            cnt = ctr_cnt[r] - cs_i * CSL
-                            iota = jax.lax.broadcasted_iota(
-                                jnp.int32, (CSL, f_pad), 0)
-                            # lane-select, not .at[].set: scatter has no
-                            # Mosaic lowering inside the kernel
-                            li = jax.lax.broadcasted_iota(
-                                jnp.int32, (CSL, f_pad), 1)
-                            inv = jnp.where(
-                                li == 0, jnp.float32(1e9),
-                                jnp.where(li == 3, jnp.float32(-1.0), 0.0))
-                            seg = jnp.where(iota < cnt, seg, inv)
-                            cen_rows.append(seg)
-                        cen = jnp.concatenate(cen_rows, axis=0)
-                        # (B*BY*CSL, f_pad)
-
-                        # tile pair math.  "half" (default): own iy-row j
-                        # centers (cen rows 2j*CSL..) only see the 12
-                        # windows with ri in {j-1, j, j+1} — one
-                        # contiguous 12*WC-lane slice in iy-major window
-                        # order.  Two (2*CSL, 12*WC) tiles instead of one
-                        # (4*CSL, 16*WC): 25% less padded pair math for
-                        # the same pairs.  "quarter" (round 4): each own
-                        # row (c, j) additionally drops its dead ci
-                        # column — its 9 true windows are 3 contiguous
-                        # 3*WC chunks (one per ri group, offset c*WC in
-                        # ci-minor order), concatenated into a (CSL,
-                        # 9*WC) tile: another 25% less padded math for 3
-                        # static slices + a lane concat per quarter.
-                        # Geometrically dead lanes that remain are
-                        # excluded by d2 < h2 (cell size == h exactly,
-                        # state.py grid_size).
-                        tiles = []
-                        if self.tile == "quarter":
-                            for r in range(B * BY):
-                                c_q, j_q = r % B, r // B
-                                cq = jnp.concatenate(
-                                    [cand[:, ((j_q + g) * (B + 2) + c_q)
-                                          * WC:
-                                          ((j_q + g) * (B + 2) + c_q) * WC
-                                          + 3 * WC] for g in range(3)],
-                                    axis=1)
-                                tiles.append(
-                                    (cen[r * CSL:(r + 1) * CSL, :], cq,
-                                     CSL))
-                        else:
-                            for hj in range(BY):
-                                lo_l = hj * (B + 2) * WC
-                                tiles.append(
-                                    (cen[hj * B * CSL:(hj + 1) * B * CSL,
-                                         :],
-                                     cand[:, lo_l:lo_l + 3 * (B + 2) * WC],
-                                     B * CSL))
+                        cen = build_cen(ctr_off, ctr_cnt, cs_i)
                         half_res = []
-                        for cen_h, cq_t, RH in tiles:
-                            fi = {k_: cen_h[:, v:v + 1]
-                                  for k_, v in name_to_idx.items()}
-                            fj = {k_: cq_t[v:v + 1, :]
-                                  for k_, v in name_to_idx.items()}
-                            rvec = (fi["x0"] - fj["x0"],
-                                    fi["x1"] - fj["x1"],
-                                    fi["x2"] - fj["x2"])
-                            d2 = (rvec[0] * rvec[0] + rvec[1] * rvec[1]
-                                  + rvec[2] * rvec[2])
-                            mask = ((cq_t[f_pad:f_pad + 1, :] > 0.5)
-                                    & (d2 < h2)
-                                    & (fi["gidx"] != fj["gidx"]))
-                            # masked rvec for the radial c*rvec products:
-                            # a masked coefficient times a RAW rvec still
-                            # propagates NaN/garbage from lanes past the
-                            # chunked span DMA's shipped length (0*NaN =
-                            # NaN); select here, once per tile, instead
-                            # of per output row
-                            rvm = tuple(jnp.where(mask, rv, 0.0)
-                                        for rv in rvec)
-
-                            if mxu:
-                                # one rsqrt replaces sqrt + the term
-                                # fns' divide (rn = d2*inv, <= 2 ulp;
-                                # GatherEngine ships the same "_inv")
-                                inv = jax.lax.rsqrt(
-                                    jnp.maximum(d2, jnp.float32(1e-38)))
-                                rn = d2 * inv
-                                dots = {"_inv": inv}
-                                for u in pair_dots:
-                                    du = tuple(
-                                        fi[f"{u}{dd}"] - fj[f"{u}{dd}"]
-                                        for dd in range(3))
-                                    dots[u] = (du[0] * rvec[0]
-                                               + du[1] * rvec[1]
-                                               + du[2] * rvec[2])
-                                contribs = term_fn(fi, fj, d2, rn, dots)
-                            else:
-                                rn = jnp.sqrt(d2)
-                                contribs = term_fn(fi, fj, rvec, rn)
-
+                        for cen_h, take, RH in tile_split(cen):
+                            cq_t = take(cand)
+                            vld = cq_t[f_pad:f_pad + 1, :] > 0.5
+                            rows_l, post, fi = pair_rows(cen_h, cq_t, vld)
                             if self.reduce == "sum":
-                                pieces = []
-                                for o, ncomp in out_cols:
-                                    cc = contribs[o]
-                                    if ncomp == 3 and mxu:      # radial
-                                        cc = jnp.broadcast_to(cc, mask.shape)
-                                        cc = jnp.where(mask, cc, 0.0)
-                                        for rv in rvm:
-                                            pieces.append(jnp.sum(
-                                                cc * rv, axis=1,
-                                                keepdims=True))
-                                    else:
-                                        comps = cc if ncomp == 3 else (cc,)
-                                        for comp in comps:
-                                            comp = jnp.broadcast_to(
-                                                comp, mask.shape)
-                                            pieces.append(jnp.sum(
-                                                jnp.where(mask, comp, 0.0),
-                                                axis=1, keepdims=True))
+                                pieces = [jnp.sum(r_, axis=1,
+                                                  keepdims=True)
+                                          for r_ in rows_l]
                             else:
                                 # MXU lane reduction (round 4): stack every
                                 # output's masked coefficient rows into one
@@ -1050,31 +1154,6 @@ class BlockEngine:
                                 prec = (jax.lax.Precision.HIGHEST
                                         if self.reduce_prec == "highest"
                                         else jax.lax.Precision.DEFAULT)
-                                rows_l, post = [], []
-                                for o, ncomp in out_cols:
-                                    cc = contribs[o]
-                                    if (ncomp == 3 and mxu
-                                            and self.reduce == "decomp"):
-                                        cm = jnp.where(
-                                            mask, jnp.broadcast_to(
-                                                cc, mask.shape), 0.0)
-                                        rows_l.append(cm)
-                                        post.append((o, "decomp"))
-                                    elif ncomp == 3 and mxu:
-                                        cm = jnp.where(
-                                            mask, jnp.broadcast_to(
-                                                cc, mask.shape), 0.0)
-                                        for rv in rvm:
-                                            rows_l.append(cm * rv)
-                                        post.append((o, "sum3"))
-                                    else:
-                                        comps = cc if ncomp == 3 else (cc,)
-                                        for comp in comps:
-                                            rows_l.append(jnp.where(
-                                                mask, jnp.broadcast_to(
-                                                    comp, mask.shape), 0.0))
-                                        post.append(
-                                            (o, "sum%d" % len(comps)))
                                 C = jnp.concatenate(rows_l, axis=0)
                                 if self.reduce == "ones":
                                     # standard-orientation matmul against
@@ -1112,35 +1191,10 @@ class BlockEngine:
                                                 S[r0:r0 + RH,
                                                   f_col:f_col + 1])
                                             r0 += RH
-                            half_res.append(jnp.concatenate(pieces, axis=1))
+                            half_res.append(
+                                jnp.concatenate(pieces, axis=1))
                         res = jnp.concatenate(half_res, axis=0)
-                        pad = 128 - res.shape[1]
-                        if pad:
-                            res = jnp.concatenate(
-                                [res, jnp.zeros((B * BY * CSL, pad),
-                                                jnp.float32)],
-                                axis=1)
-
-                        # per-row output copies, MASKED-exact: only rows
-                        # holding this row-batch's real centers are
-                        # touched (a plain 16-row copy would overshoot a
-                        # row's final batch into the *other* own row's
-                        # already-written early rows)
-                        for r in range(B * BY):
-                            c = r % B      # iy-major row order
-                            off = (ctr_off[r] + cs_i * CSL - col_lo[c]
-                                   + c * HALF_OUT)
-                            off = jnp.clip(off, c * HALF_OUT,
-                                           jnp.int32((c + 1) * HALF_OUT
-                                                     - CSL))
-                            cnt = ctr_cnt[r] - cs_i * CSL
-                            iota = jax.lax.broadcasted_iota(
-                                jnp.int32, (CSL, 128), 0)
-                            rr = res[r * CSL:(r + 1) * CSL, :]
-                            cur = out_scr[pl.ds(off, CSL), :]
-                            val = jnp.where(sh == 0, rr, cur + rr)
-                            out_scr[pl.ds(off, CSL), :] = jnp.where(
-                                iota < cnt, val, cur)
+                        store_res(res, ctr_off, ctr_cnt, cs_i, sh == 0)
                         return 0
 
                     if ABLATE != "nomath":
@@ -1148,6 +1202,103 @@ class BlockEngine:
                     return 0
 
                 jax.lax.fori_loop(0, pl.cdiv(mx, WC), sheet_body, 0)
+
+            def sheet_loop_co(m, t, mx, mxc, ctr_off, ctr_cnt):
+                """Center-sheet-outer scheduler (round 5,
+                blocks_sched="ctr_outer"): assemble a MACRO-GROUP of up
+                to SMG window sheets once (sheet s2 on sublane rows
+                [s2*f_pad, ..)), then for each center sheet run the
+                window sheets INNER with per-piece (RH, 128) register
+                accumulators — cross-lane reduction trees, center
+                assembly, and the out_scr read-modify-write all drop
+                from per-(window-sheet x center-sheet) to per
+                center-sheet; the inner loop pays only a cheap TW->128
+                lane fold per piece.  Macro-groups keep capacity exact:
+                batches wider than SMG*WC lanes accumulate across
+                macros through out_scr exactly like the sheet-outer
+                scheduler accumulates across sheets."""
+                SMG = self.sheet_group
+                n_sh = pl.cdiv(mx, WC)
+                # validity source: the countdown plane row holds
+                # len - lane per window; > sho is the sheet-sh validity
+                mrow2 = mask_scr[buf * GNBZ8 + m * NBZ8 + t, :][None, :]
+
+                def mac_body(mac, _):
+                    sh0 = mac * SMG
+                    loc_n = jnp.minimum(n_sh - sh0, SMG)
+
+                    def asm_body(s2, _):
+                        sho = (sh0 + s2) * WC
+                        dst = s2 * f_pad
+                        for k in range(NW):
+                            cand_scr[pl.ds(dst, f_pad),
+                                     k * WC:(k + 1) * WC] = \
+                                asm_window(m, t, sho, k)
+                        return 0
+
+                    if ABLATE != "noasm":
+                        jax.lax.fori_loop(0, loc_n, asm_body, 0)
+
+                    def ctr_body(cs_i, _):
+                        cen = build_cen(ctr_off, ctr_cnt, cs_i)
+                        tiles = tile_split(cen)
+                        accs0 = tuple(
+                            tuple(jnp.zeros((RH, 128), jnp.float32)
+                                  for _p in range(n_pieces))
+                            for _c, _t, RH in tiles)
+
+                        def fold128(row):
+                            tw = row.shape[1]
+                            nfull = tw // 128
+                            acc = row[:, :128]
+                            for i in range(1, nfull):
+                                acc = acc + row[:, i * 128:(i + 1) * 128]
+                            rem = tw - nfull * 128
+                            if rem:
+                                acc = acc + jnp.concatenate(
+                                    [row[:, nfull * 128:],
+                                     jnp.zeros((row.shape[0], 128 - rem),
+                                               jnp.float32)], axis=1)
+                            return acc
+
+                        def sh_body(s2, accs):
+                            cand = cand_scr[pl.ds(s2 * f_pad, f_pad), :]
+                            sho = (sh0 + s2) * WC
+                            vld_full = mrow2 > sho
+                            new = []
+                            for ti, (cen_h, take, RH) in enumerate(tiles):
+                                cq_t = take(cand)
+                                vld = take(vld_full)
+                                rows_l, _post, _fi = pair_rows(
+                                    cen_h, cq_t, vld)
+                                new.append(tuple(
+                                    accs[ti][pi] + fold128(r_)
+                                    for pi, r_ in enumerate(rows_l)))
+                            return tuple(new)
+
+                        accs = jax.lax.fori_loop(0, loc_n, sh_body, accs0)
+                        half_res = [
+                            jnp.concatenate(
+                                [jnp.sum(a_, axis=1, keepdims=True)
+                                 for a_ in accs[ti]], axis=1)
+                            for ti in range(len(tiles))]
+                        res = jnp.concatenate(half_res, axis=0)
+                        store_res(res, ctr_off, ctr_cnt, cs_i, mac == 0)
+                        return 0
+
+                    if ABLATE != "nomath":
+                        jax.lax.fori_loop(0, pl.cdiv(mxc, CSL), ctr_body, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, pl.cdiv(n_sh, SMG), mac_body, 0)
+
+            if self.sched == "ctr_outer":
+                # static piece count per tile (reduce == "sum" asserted
+                # at init: the MXU reduce modes contract against the
+                # candidate tile and cannot accumulate across sheets)
+                n_pieces = sum(3 if ncomp == 3 else 1
+                               for _o, ncomp in out_cols)
+                sheet_loop = sheet_loop_co
 
             if ABLATE not in ("noloop", "dmaonly"):
                 for m in range(G):

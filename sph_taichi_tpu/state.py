@@ -237,6 +237,28 @@ class SimParams:
     #                               allocates them when this is set).
     #                               Single-device only (the shard pack
     #                               drops the kappa fields).
+    blocks_sched: str = "ctr_outer"  # blocks inner-loop scheduler:
+    #                               "sheet_outer" (rounds 3-4: candidate
+    #                               sheet assembled once, all center
+    #                               sheets re-swept per window sheet) or
+    #                               "ctr_outer" (round 5 DEFAULT:
+    #                               macro-group of blocks_sheet_group
+    #                               sheets assembled once, window sheets
+    #                               INNER with per-piece (RH, 128)
+    #                               register accumulators — cross-lane
+    #                               reduce trees, center assembly, and
+    #                               out_scr read-modify-writes drop to
+    #                               once per center sheet).  Device A/B
+    #                               j252/j253: dragon 37.6 vs 38.2,
+    #                               armadillo 149.3 vs 152.1 ms/step.
+    #                               Falls back to sheet_outer when
+    #                               blocks_reduce != "sum" or the
+    #                               chunked span DMA is on.
+    blocks_sheet_group: int = 4   # ctr_outer: window sheets per macro
+    #                               group (VMEM cand scratch rows =
+    #                               group * f_pad; batches wider than
+    #                               group*WC lanes accumulate across
+    #                               macro groups through out_scr)
     blocks_tile: str = "half"     # pair-math tile granularity: "half"
     #                               (2 tiles of (2*CSL, 12*WC) per center
     #                               sheet) or "quarter" (4 of (CSL, 9*WC):

@@ -84,6 +84,46 @@ def test_block_solver_equivalence_groups_per_inst(gi, rows_y, tile, rng):
     _assert_states_close(sg, sp)
 
 
+@pytest.mark.parametrize("sched,smg,gi,tile", [
+    ("ctr_outer", 4, 1, "half"), ("ctr_outer", 1, 2, "half"),
+    ("ctr_outer", 4, 1, "quarter"), ("sheet_outer", 4, 1, "half")])
+def test_block_solver_equivalence_ctr_outer(sched, smg, gi, tile, rng):
+    """ctr_outer scheduler (round 5 default): window sheets run INNER
+    with per-piece register accumulators; macro-groups of
+    blocks_sheet_group sheets accumulate through out_scr.  smg=1 forces
+    every batch across multiple macro-groups (the cross-macro
+    accumulation path); gi=2 composes with the member loop; quarter
+    exercises the 3-slice lane take on both candidates and the validity
+    row.  The sheet_outer case keeps the legacy scheduler covered now
+    that it is non-default.  Clumped layout forces overflow sheets on
+    both sides."""
+    d = small_scene_dict(method=0)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    x = _clumped_positions(rng, params, particles)
+    sg = _run(0, "gather", 2, perturb=x)
+    sp = _run(0, "pallas_blocks_interpret", 2, perturb=x,
+              blocks_sched=sched, blocks_sheet_group=smg,
+              blocks_groups_per_inst=gi, blocks_tile=tile,
+              blocks_groups_cap=0)
+    _assert_states_close(sg, sp)
+
+
+@pytest.mark.slow
+def test_block_solver_equivalence_ctr_outer_dfsph(rng):
+    """ctr_outer under DFSPH: LanesBuf reuse across Jacobi iterations,
+    multi-output traversals, and the solver epilogues all ride the new
+    scheduler."""
+    d = small_scene_dict(method=4)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    x = _clumped_positions(rng, params, particles)
+    sg = _run(4, "gather", 2, perturb=x)
+    sp = _run(4, "pallas_blocks_interpret", 2, perturb=x,
+              blocks_sched="ctr_outer", blocks_groups_cap=0)
+    _assert_states_close(sg, sp)
+
+
 @pytest.mark.parametrize("method", [0, 4])
 def test_block_solver_equivalence_chunked_dma(method, rng):
     """Chunked span DMA (round 4): dma_chunk=128 forces every occupied
