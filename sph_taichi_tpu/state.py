@@ -172,7 +172,12 @@ class SimParams:
     #                               UNCHANGED (the member loop runs each
     #                               group's own windows).  Sized by
     #                               scene.py under the VMEM budget.
-    blocks_z_batch: int = 2       # z-cells per center batch (Z)
+    blocks_z_batch: int = 2       # z-cells per center batch (Z).
+    # Z=2 is the measured optimum (z4/z8 flat-to-worse r4; Z=1 is 40%
+    # SLOWER, batch-count bound, j304).  DEVICE HAZARD: Z=3 kernel-
+    # faulted the v5e TPU worker twice (j303) though its semantics are
+    # interpret-exact (test_block_solver_equivalence_z_batch) — prefer
+    # even Z on real hardware.
     blocks_window_cap: int = 32   # lanes per (Z+2)-cell window (WC)
     blocks_span_cap: int = 4096   # lanes per 4-row ix-column span DMA
     # (sized for EVOLVED occupancy, not t=0: rows in both headline scenes

@@ -109,6 +109,28 @@ def test_block_solver_equivalence_ctr_outer(sched, smg, gi, tile, rng):
     _assert_states_close(sg, sp)
 
 
+@pytest.mark.parametrize("zb", [1, 3, 4])
+def test_block_solver_equivalence_z_batch(zb, rng):
+    """blocks_z_batch sweep: the window depth is (Z+2) cells and every
+    table (len/loc/ctr/mxt, countdown plane) is built per z-batch, so
+    Z=1 (narrowest), Z=3 (odd — nbz8 sublane padding exercised with
+    nbz % 8 != 0 from a different residue), and Z=4 must all reproduce
+    the gather pair set exactly.  Z=1 and Z=3 were device-measured in
+    round 5 (j303/j304): Z=1 is 40% slower (batch-count bound, a
+    documented negative) and Z=3 kernel-faulted the TPU worker — this
+    test pins that the SEMANTICS of odd/narrow Z are correct under the
+    interpreter, so the device fault is a Mosaic-level hazard, not a
+    table-construction bug."""
+    d = small_scene_dict(method=0)
+    cfg = SimConfig(config_dict=d)
+    params, particles, _ = build_scene(cfg, neighbor_cap=128, cell_cap=32)
+    x = _clumped_positions(rng, params, particles)
+    sg = _run(0, "gather", 2, perturb=x)
+    sp = _run(0, "pallas_blocks_interpret", 2, perturb=x,
+              blocks_z_batch=zb, blocks_groups_cap=0)
+    _assert_states_close(sg, sp)
+
+
 @pytest.mark.slow
 def test_block_solver_equivalence_ctr_outer_dfsph(rng):
     """ctr_outer under DFSPH: LanesBuf reuse across Jacobi iterations,
