@@ -361,6 +361,20 @@ class SPHBase:
         """Compile `substeps` solver steps as one lax.scan-ed program —
         the per-frame loop of run_simulation.py:79-81 without host
         round-trips."""
+        if substeps == 1:
+            # Do NOT scan a single step: XLA's while-loop simplifier
+            # unrolls the trip-count-1 loop into the parent module and
+            # later passes blow up on the flat graph — scan-of-1
+            # measured ~1490 s to compile at dragon scale vs 104 s for
+            # the identical body jitted directly (devjobs j310/j312;
+            # scan-of-2 is 125 s).  substeps=1 is the DEFAULT CLI path
+            # (numberOfStepsPerRenderUpdate=1 in every bundled scene).
+            # Metrics keep the scan's leading step axis.
+            def frame1(state):
+                s, m = self.step_fn(state)
+                return s, jax.tree.map(lambda a: jnp.asarray(a)[None], m)
+            return jax.jit(frame1, donate_argnums=0)
+
         def frame(state):
             def body(s, _):
                 s, m = self.step_fn(s)

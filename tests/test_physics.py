@@ -72,6 +72,38 @@ def test_dfsph_converges_or_caps():
     assert 1 <= int(metrics["divergence_iters"]) <= 100
 
 
+def test_frame_fn_substeps1_matches_scan():
+    """make_frame_fn(1) skips the lax.scan wrapper (a trip-count-1 scan
+    compiled ~14x slower at dragon scale than the directly-jitted body,
+    devjobs j310/j312) — two substeps=1 frames must reproduce one
+    substeps=2 scanned frame bitwise, and the metrics must keep the
+    scan's leading step axis."""
+    import jax
+
+    def build():
+        cfg = SimConfig(config_dict=small_scene_dict(method=0))
+        params, particles, _ = build_scene(cfg)
+        solver = build_solver(params)
+        return solver, solver.initialize(particles)
+
+    solver1, s1 = build()
+    f1 = solver1.make_frame_fn(1)
+    ms = []
+    for _ in range(2):
+        s1, m = f1(s1)
+        ms.append(m)
+    solver2, s2 = build()
+    s2, m2 = solver2.make_frame_fn(2)(s2)
+
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    m1 = jax.tree.map(lambda a, b: np.concatenate(
+        [np.asarray(a), np.asarray(b)]), ms[0], ms[1])
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        assert a.shape == np.asarray(b).shape
+        assert np.array_equal(a, np.asarray(b))
+
+
 def test_determinism_bitwise():
     outs = []
     for _ in range(2):
