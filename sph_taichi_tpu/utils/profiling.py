@@ -88,12 +88,22 @@ def check_overflow(metrics, where="step", strict=False):
     """
     import warnings
 
-    fired = []
+    import jax
+
+    present = {}
     for k in FATAL_OVERFLOW_KEYS:
         v = metrics.get(k) if hasattr(metrics, "get") else None
-        if v is None:
+        if v is not None:
+            present[k] = v
+    # one batched device_get (transfers issue together) instead of a
+    # per-key np.asarray roundtrip — each costs ~20-30 ms through the
+    # axon tunnel and this runs every frame on the driver path
+    host = jax.device_get(present) if present else {}
+    fired = []
+    for k in FATAL_OVERFLOW_KEYS:
+        if k not in host:
             continue
-        a = np.asarray(v)
+        a = np.asarray(host[k])
         if a.size and bool(a.any()):
             fired.append(k)
     if fired:
